@@ -1,0 +1,1119 @@
+"""Per-document profile extraction — the parse UDF (SURVEY.md §2.2 M1-M25).
+
+One HTML company page → one nested profile dict. Semantics follow the
+reference ``lib/parser.js`` dispatch loop (:94-1854, :1879-1906): the first
+matching regex among the section matchers claims the line, its parser
+consumes lines and returns the resume index. All cross-section state
+(the ``boersenbewertung{N}`` occurrence counter, ref ``lib/callCounter.js``)
+is local to one document — per-row state, never actor/global state.
+
+This module is pure Python: in the engine it runs inside
+``map_batches(ParseProfile, batch_format="pyarrow")`` actor pools
+(dictionaries are actor state, see ``stages/parse_stage.py``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..functions import regex_lib as rl
+from ..functions import text_utils as tu
+from . import aktionaer as pa
+from . import boersenbewertung as pb
+from . import organbezuege as po
+from . import persons as pp
+from . import tables as pt
+from .dictionaries import Dictionaries, get_default
+
+_SEMI_SPLIT_RE = re.compile(r"\s*;\s*")
+_PARENS_RE = re.compile(r"\(([^)]+)\)")
+_DIGITS_RE = re.compile(r"\d+")
+_HEAD_RE = re.compile(r"<head>[\s\S]*</head>", re.IGNORECASE)
+
+
+def _line(lines: list[str], i: int) -> str | None:
+    return lines[i] if 0 <= i < len(lines) else None
+
+
+class ProfileParser:
+    """Stateless per-document parser; ``dicts`` is the only (read-only) state."""
+
+    def __init__(self, dicts: Dictionaries | None = None):
+        self.dicts = dicts or get_default()
+        # (match_pattern, fn, disabled) — order matters, first match wins
+        # (ref parser.js:94-1854; disabled entries at :516,:552 kept for parity)
+        self._parse_functions = [
+            ("AKF_PARSER_START", self._fn_start, False),
+            ("<b>Sitz</b>", self._fn_sitz, False),
+            ("Tätigkeitsgebiet/Gründung", self._fn_taetigkeit, False),
+            ("<br><b>Gründung|<b>Gründung:", self._fn_gruendung, False),
+            ("<b>Status:", self._fn_status, False),
+            ("<b>Sonstige Angaben</b>", self._fn_sonstige, False),
+            (">Beschäftigte", None, True),
+            ("b>Aufsichtsrat:</b><br>", None, True),
+            ("b>Aufsichtsrat: </b><br>|b>Aufsichtsrat:</b><br>", self._fn_aufsichtsrat, False),
+            ("b>Vorstand:</b><br>", self._fn_vorstand1, False),
+            ("b>Vorstand: </b><br>", self._fn_vorstand2, False),
+            (">Leitung Kommunikation", self._fn_leitung, False),
+            (
+                "b>Geschäftsleitung:</b><br>|b>Geschäftsleitung: </b><br>",
+                self._fn_geschleitung,
+                False,
+            ),
+            (
+                # alternatives 3/4 use NBSP (\xa0) and its utf8-as-latin1
+                # mojibake, exactly as the reference literal (parser.js:786)
+                "b>Organbezüge:</b>|b>Organbezüge :</b>"
+                "|b>Organbezüge:\xa0</b>|b>OrganbezÃ¼ge:Â\xa0</b>",
+                self._fn_organbezuege,
+                False,
+            ),
+            ("b>Aktionäre</b>|b>Aktionäre </b>|b>Aktionär", self._fn_aktionaere, False),
+            ("b>Public Relations", self._fn_public_relations, False),
+            ("b>Investor Relations|b> Investor Relations", self._fn_investor_relations, False),
+            ("b>Gesellschafter|b> Gesellschafter", self._fn_gesellschafter, False),
+            ("b>Anteilseigner:|b>Anteilseigner :", self._fn_anteilseigner, False),
+            (
+                r"b>Ausgewählte Beteiligungen|b> Ausgewählte Beteiligungen"
+                r"|b>Beteiligung\(en\)|b> Beteiligung\(en\)",
+                self._fn_beteiligungen,
+                False,
+            ),
+            ("b>Wesentliche Beteiligungen", self._fn_wesentliche_beteiligungen, False),
+            ("b>Unternehmensvert|Abfindungsangebote</b", self._fn_unternehmensvertraege, False),
+            (
+                "b>Kapitalentwicklung|b>Kapital</b>|b>Kapitalangaben",
+                self._fn_kapitalentwicklung,
+                False,
+            ),
+            ("Wertpapier-Kenn-Nr|ISIN:", self._fn_boersenbewertung, False),
+            ("b>Bereinigte Kurse|b>Kurse", self._fn_kurse, False),
+            ("b>Dividenden", self._fn_dividenden, False),
+            (">Ergebnisabführung", self._fn_ergebnisabfuehrung, False),
+            ("Kennzahlen", self._fn_kennzahlen, False),
+            ("b>Aus den Bilanzen", self._fn_aus_bilanzen, False),
+            (
+                "b>Aus den Gewinn- und Verlustrechnungen",
+                self._fn_aus_guv,
+                False,
+            ),
+        ]
+        self._compiled = [
+            (re.compile(pat), fn, disabled) for pat, fn, disabled in self._parse_functions
+        ]
+
+    # ------------------------------------------------------------------
+    def parse(self, lines_str: str) -> dict:
+        """ref parser.js:1879-1906"""
+        lines = lines_str.split("\n")
+        try:
+            head_end = lines.index("</head>")
+            if head_end + 2 < len(lines):
+                lines[head_end + 2] = "AKF_PARSER_START"
+        except ValueError:
+            pass
+
+        ret: dict = {}
+        self._counts: dict[str, int] = {}  # per-document section call counts (ST4)
+
+        ret["_fulltext"] = re.sub(
+            r"<[^>]+>", "", _HEAD_RE.sub("", lines_str).replace("<br>", " ")
+        )
+
+        i = 0
+        guard = 0
+        max_iter = 20 * max(1, len(lines))  # safety net; the reference can rescan
+        while i < len(lines):
+            guard += 1
+            if guard > max_iter:
+                break
+            line_trim = lines[i].strip()
+            for pattern, fn, disabled in self._compiled:
+                if disabled or fn is None:
+                    if not disabled:
+                        continue
+                    if pattern.search(line_trim):
+                        # disabled matchers never fire (ref :1897 checks disabled)
+                        continue
+                    continue
+                if pattern.search(line_trim):
+                    res = fn(lines, i, ret)
+                    i = res if res else i  # JS: i = fn(...) || i
+                    break
+            i += 1
+        return ret
+
+    def _count(self, key: str) -> int:
+        self._counts[key] = self._counts.get(key, 0) + 1
+        return self._counts[key]
+
+    def _current_count(self, key: str) -> int:
+        return self._counts.get(key, 0)
+
+    # ------------------------------------------------------------------
+    # header block (ref parser.js:105-221)
+    def _fn_start(self, lines, i, ret):
+        self._count("name")
+        i += 1
+        type_ = ""
+        isin = ""
+        wkn = ""
+        nw = ""
+        all_wkn_entry = []
+        entry_idx = 0
+        n = len(lines)
+
+        while True:
+            cur = _line(lines, i)
+            if cur and (
+                re.search("<td align=center>", cur) or re.search('<td align="center">', cur)
+            ):
+                m = re.search(r"<b>(.*?)</b>", cur)
+                if m:
+                    ret["name"] = m.group(1)
+            if cur and (
+                re.search("Wertpapier-Kenn", cur) or re.search(r"Wertpapier Kenn\.-Nr\.", cur)
+            ):
+                if entry_idx > 0:
+                    all_wkn_entry.append(
+                        {"type": type_, "isin": isin, "wkn": wkn, "nw": nw}
+                    )
+                    type_ = isin = wkn = nw = ""
+                dm = _DIGITS_RE.findall(cur)
+                wkn = dm[0] if dm else ""
+                tm = _PARENS_RE.search(cur)
+                if tm is None:
+                    startidx = i
+                    while True:
+                        i += 1
+                        nxt = _line(lines, i)
+                        if nxt is None:
+                            break
+                        tm = _PARENS_RE.search(nxt)
+                        if re.search("</center>", nxt):
+                            break
+                    if tm is None:
+                        type_ = ""
+                        i = startidx
+                if tm is not None:
+                    type_ = tm.group(1)
+                entry_idx = 1
+            cur = _line(lines, i)
+            if cur and re.search("ISIN:", cur):
+                if entry_idx > 1:
+                    all_wkn_entry.append(
+                        {"type": type_, "isin": isin, "wkn": wkn, "nw": nw}
+                    )
+                    type_ = isin = wkn = nw = ""
+                tail = re.search(r"[^>]+$", cur)
+                isin = tail.group(0) if tail else ""
+                if (
+                    entry_idx == 1
+                    and (not wkn or re.search(str(wkn), str(isin)) is None)
+                    and re.search("DE", str(isin)) is not None
+                ):
+                    empty = isin
+                    isin = ""
+                    all_wkn_entry.append(
+                        {"type": type_, "isin": isin, "wkn": wkn, "nw": nw}
+                    )
+                    type_ = wkn = nw = ""
+                    isin = empty
+                tm2 = None
+                if type_ is None or type_ == "":
+                    tm2 = _PARENS_RE.search(cur)
+                    if tm2 is None:
+                        while True:
+                            i += 1
+                            nxt = _line(lines, i)
+                            if nxt is None:
+                                break
+                            tm2 = _PARENS_RE.search(nxt)
+                            if re.search("</center>", nxt):
+                                break
+                    if tm2 is not None:
+                        type_ = tm2.group(1)
+                entry_idx = 2
+            cur = _line(lines, i)
+            if cur and re.search("Nennwert:", cur):
+                nw = cur.replace("<center><b><b>Nennwert: </b>", "", 1)
+                entry_idx = 3
+            i += 1
+
+            end1 = end2 = True
+            cur = _line(lines, i)
+            if cur:
+                if re.search("<b>Sitz</b>", cur):
+                    end1 = False
+                if re.search("b>Tätigkeitsgebiet", cur):
+                    end2 = False
+            if not (end1 and end2) or i >= n:
+                break
+
+        all_wkn_entry.append({"type": type_, "isin": isin, "wkn": wkn, "nw": nw})
+        i -= 1
+        ret["all_wkn_entry"] = all_wkn_entry
+        return i
+
+    # ------------------------------------------------------------------
+    # Sitz / address block (ref parser.js:228-381)
+    def _fn_sitz(self, lines, i, ret):
+        self._count("sitz")
+        try:
+            i += 1
+            address_lines = ""
+            obj: dict = {}
+            ret_temp = []
+            address_linearr = []
+            while True:
+                cur = lines[i]
+                if not re.search("<!-- weitere Sitze -->", cur):
+                    if not re.search("<br><center><h5><table><tr>", cur):
+                        address_lines += cur
+                m = re.search("<br>", cur)
+                if m and not re.search("<br><center>", cur) and m.start() == 0:
+                    address_linearr.append(address_lines)
+                    address_lines = ""
+                i += 1
+                if re.search("<br><center><h5><table><tr>|</body>", lines[i]):
+                    break
+            address_linearr.append(address_lines)
+            if address_linearr:
+                obj["origpost"] = re.sub(
+                    r"(<([^>]+)>)", " ", ",".join(address_linearr), flags=re.IGNORECASE
+                )
+            for block in address_linearr:
+                address_lines = block
+                address_name = tu.trim_all(address_lines.split("</b><br>"))
+                obj["type"] = "Sitz"
+                if len(address_name) > 1:
+                    address_lines = address_name[1]
+                    obj["type"] = address_name[0].replace("<b>", "", 1)
+                address_parts = tu.trim_all(address_lines.split("<br>"))
+                length = len(address_parts)
+                for idxx in range(length):
+                    if re.search("PLZ", address_parts[idxx]):
+                        toks = re.split(r"\s+", address_parts[idxx])
+                        obj["lcustomerzip"] = toks[1] if len(toks) > 1 else ""
+                        rest_toks = toks[2:]
+                        obj["lcustomercity"] = (
+                            " ".join(rest_toks) if len(rest_toks) > 1
+                            else (rest_toks[0] if rest_toks else None)
+                        )
+                        address_parts = address_parts[idxx + 1:length]
+                        break
+                filtered = [p for p in address_parts if p]
+                if not filtered:
+                    ret_temp.append(obj)
+                    obj = {}
+                    continue
+                if "," not in filtered[0] and not re.search(r"[(]", filtered[0]):
+                    obj["city"] = filtered[0]
+                    if len(filtered) > 1:
+                        filtered = [p for p in address_parts if p]
+                        filtered.pop(0)
+                sec = [p for p in filtered if p]
+                if sec and re.search(r"Postfach|P\.O\.Box", sec[0]) is None:
+                    first = filtered.pop(0) if filtered else ""
+                    if "," in first:
+                        stripped0 = re.sub(r"\d+", "", sec[0])
+                        if stripped0 and stripped0.split()[0][0] == ",":
+                            inputarr = sec[0].replace(",", "", 1)
+                            street_with_number = inputarr.split(",")[0]
+                            city_with_zip = (
+                                inputarr.split(",")[1] if "," in inputarr else ""
+                            )
+                        else:
+                            swn_cwz = tu.trim_all(sec.pop(0).split(","))
+                            street_with_number = swn_cwz[0]
+                            city_with_zip = swn_cwz[1] if len(swn_cwz) > 1 else ""
+                        toks = re.split(r"\s+", street_with_number)
+                        if len(toks) != 1:
+                            if re.fullmatch(r"\d+", street_with_number[0] or " "):
+                                obj["street_number"] = toks[0]
+                                obj["street"] = " ".join(toks[1:])
+                            else:
+                                street = toks[:-1]
+                                obj["street"] = (
+                                    " ".join(street) if len(street) > 1 else street[0]
+                                )
+                                obj["street_number"] = toks[-1]
+                        else:
+                            obj["street"] = street_with_number
+                            obj["street_number"] = ""
+                        cz = re.split(r"\s+", city_with_zip.lstrip())
+                        obj["zip"] = cz[0] if cz else ""
+                        city_toks = cz[1:]
+                        obj["city"] = (
+                            " ".join(city_toks) if len(city_toks) > 1
+                            else (city_toks[0] if city_toks else None)
+                        )
+                    else:
+                        obj["city"] = sec[0]
+                for address_part in sec:
+                    if re.search(r"Postfach|Postanschrift|P\.O\.Box", address_part):
+                        k, v = tu.split_at_first(address_part, ",")
+                        ktoks = re.split(r"\s+", k.lstrip())
+                        if len(ktoks) > 1:
+                            obj["POBox"] = " ".join(ktoks[1:])
+                        vtoks = re.split(r"\s+", v.lstrip())
+                        if len(vtoks) > 1:
+                            obj["zipPOBox"] = vtoks[0]
+                            obj["cityPOBox"] = " ".join(vtoks[1: len(ktoks)])
+                        else:
+                            obj["cityPOBox"] = v
+                            obj["zipPOBox"] = ""
+                    else:
+                        k, v = tu.split_at_first(address_part, ":")
+                        if not k:
+                            continue
+                        if re.search("Telefon", k):
+                            obj["phone"] = v
+                        elif re.search("Telefax", k):
+                            obj["fax"] = v
+                        elif re.search("e.mail", k):
+                            obj["email"] = re.split(r"\s*,\s*", v)
+                        elif re.search("Internetseite|http", k):
+                            obj["www"] = re.split(r"\s*,\s*", v)
+                        elif re.search("T-Online", k):
+                            obj["tonline"] = re.split(r"\s*,\s*", v)
+                ret_temp.append(obj)
+                obj = {}
+            i -= 1
+            ret["Sitz"] = ret_temp
+            return i
+        except Exception:
+            return None
+
+    # ------------------------------------------------------------------
+    def _fn_taetigkeit(self, lines, i, ret):
+        """ref parser.js:387-416"""
+        self._count("taetigkeitsgebiet")
+        i += 1
+        activity = ""
+        while True:
+            end1 = not re.search("<br><center>", lines[i])
+            end2 = not re.search("<b>Gr", lines[i])
+            if end1 and end2:
+                activity += lines[i]
+                i += 1
+            if not (end1 and end2):
+                break
+        if re.search("<b>Gr", activity.replace("<br>", "\n")):
+            return i - 2
+        ret["activity_description"] = activity.replace("<br>", "\n")
+        i -= 1
+        return i
+
+    def _fn_gruendung(self, lines, i, ret):
+        """ref parser.js:422-456"""
+        self._count("gruendung")
+        m = _DIGITS_RE.search(lines[i])
+        if m:
+            ret["established_year"] = int(m.group(0))
+        reduced = re.sub(r"<b>Gründung:\s*</b>", "", lines[i], count=1)
+        rest_final = []
+        for part in reduced.split("<br>"):
+            cur = tu.html_text_to_text(part).strip()
+            if cur:
+                rest_final.append(cur)
+        ret["established_year_bemerkungen"] = rest_final
+        i += 1
+        return i
+
+    def _fn_status(self, lines, i, ret):
+        """ref parser.js:462-475"""
+        self._count("status")
+        m = re.search(r"[^>]+$", lines[i])
+        if m:
+            ret["status"] = m.group(0)
+        return i
+
+    def _fn_sonstige(self, lines, i, ret):
+        """ref parser.js:481-507"""
+        self._count("angaben")
+        i += 1
+        angaben = []
+        while not re.search("</body>|</html>", lines[i]):
+            if re.search("<b>", lines[i]):
+                strip = re.sub(r"(<([^>]+)>)", "", lines[i], flags=re.IGNORECASE)
+                angaben.append(strip.split(":"))
+            i += 1
+            if i >= len(lines):
+                break
+        ret["sonstigeAngaben"] = angaben
+        return i
+
+    # ------------------------------------------------------------------
+    def _fn_aufsichtsrat(self, lines, i, ret):
+        """ref parser.js:584-649"""
+        self._count("aufsichtsrat")
+        commonfunct_is_there = False
+        commonfunct = ""
+        aufsichtsrat = re.sub(r"b>Aufsichtsrat: </b><br>", "", lines[i], flags=re.IGNORECASE)
+        aufsichtsrat = re.sub(r"b>Aufsichtsrat:</b><br>", "", aufsichtsrat, flags=re.IGNORECASE)
+        aufsichtsrat = re.sub(r"<br>|<|>", "", aufsichtsrat, flags=re.IGNORECASE)
+        i += 1
+        n = len(lines)
+        while True:
+            if re.match(r"\*\)", lines[i]):
+                commonfunct = lines[i].replace("*)", "", 1).replace("<br>", "", 1).strip()
+                commonfunct_is_there = True
+            elif re.search(r"\*\) Arbeitnehmervertreter", lines[i]):
+                lines[i] = re.sub(r"\*\) Arbeitnehmervertreter", "", lines[i], count=1)
+                lines[i] = lines[i].replace("<br>", "", 1).strip()
+                lines[i] = rl.remove_last_character(lines[i], ";")
+                commonfunct = "Arbeitnehmervertreter"
+                commonfunct_is_there = True
+            aufsichtsrat += lines[i].replace("<br>", "", 1)
+            i += 1
+            if i >= n:
+                break
+            if lines[i] and re.search("<b>", lines[i]):
+                break
+        ret["aufsichtsrat"] = []
+        for part in tu.trim_all(_SEMI_SPLIT_RE.split(aufsichtsrat)):
+            manager = pp.check_person_line(part, self.dicts, commonfunct_is_there, commonfunct)
+            ret["aufsichtsrat"].append(manager)
+        i -= 1
+        return i
+
+    def _fn_vorstand1(self, lines, i, ret):
+        """ref parser.js:655-676"""
+        self._count("vorstand")
+        i += 1
+        vorstand = ""
+        while True:
+            vorstand += lines[i].replace("<br>", "", 1)
+            i += 1
+            if i >= len(lines) or re.search("<b>", lines[i]):
+                break
+        ret.setdefault("vorstand", [])
+        vorstand = rl.replace_semicolon_and_comma_in_brackets(vorstand)
+        ret["vorstand"].append(pp.parse_vorstand(vorstand, self.dicts))
+        return i - 1
+
+    def _fn_vorstand2(self, lines, i, ret):
+        """ref parser.js:682-701"""
+        self._count("vorstand")
+        br_split = lines[i].split("<br>")
+        spliced = br_split[1:]
+        i += 1
+        vorstand = "".join(spliced)
+        ret.setdefault("vorstand", [])
+        ret["vorstand"].append(pp.parse_vorstand(vorstand, self.dicts))
+        return i
+
+    def _fn_leitung(self, lines, i, ret):
+        """ref parser.js:707-737"""
+        self._count("leitung_kommunikation")
+        i += 1
+        currentline = lines[i]
+        lines_leitung = []
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_leitung.append(currentline)
+            i += 1
+            currentline = lines[i] if i < len(lines) else ""
+            if "<br><center>" in currentline or i >= len(lines):
+                break
+        ret["leitung_kommunikation"] = pp.parse_leiter(lines_leitung, self.dicts)
+        return i - 1
+
+    def _fn_geschleitung(self, lines, i, ret):
+        """ref parser.js:743-776"""
+        self._count("geschleitung")
+        br_split = lines[i].split("<br>")
+        spliced = br_split[1:]
+        geschleitung = "".join(spliced)
+        i += 1
+        if geschleitung == "":
+            geschleitung = lines[i].replace("<br>", "", 1)
+        ret["geschleitung"] = []
+        geschleitung = rl.replace_semicolon_and_comma_in_brackets(geschleitung)
+        for part in tu.trim_all(_SEMI_SPLIT_RE.split(geschleitung)):
+            ret["geschleitung"].append(pp.check_person_line(part, self.dicts, False, ""))
+        i -= 1
+        return i
+
+    def _fn_organbezuege(self, lines, i, ret):
+        """ref parser.js:786-816"""
+        self._count("organbezuege")
+        b_split = lines[i].split("</b>")
+        spliced = b_split[1:]
+        organbezuege = "".join(p.replace("<br>", "") for p in spliced)
+        i += 1
+        result = po.parse_organbezuege(organbezuege)
+        if result:
+            ret.setdefault("organbezuege", []).append(result)
+        return i
+
+    # ------------------------------------------------------------------
+    def _fn_aktionaere(self, lines, i, ret):
+        """ref parser.js:823-889"""
+        self._count("aktionaere")
+        currentline = lines[i]
+        lines_aktionaer = []
+        n = len(lines)
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_aktionaer.append(currentline)
+            i += 1
+            currentline = lines[i] if i < n else ""
+            current_defined = bool(currentline)
+            end1 = "<br><center>" in currentline and "Aktionäre" not in currentline
+            if end1 and current_defined:
+                lines_aktionaer.append(currentline)
+            end2 = "</body>" in currentline
+            end3 = "<br>" in currentline
+            if i >= n:
+                break
+            if not (not current_defined or (end1 and end2) or (end3 and not end1)):
+                break
+
+        aktionaer_final = []
+        if len(lines_aktionaer) == 1:
+            aktionaer_final = lines_aktionaer[0].split("<br>")[1:]
+        elif len(lines_aktionaer) == 2:
+            aktionaer_final = lines_aktionaer[1].split("<br>")
+        else:
+            for cline in lines_aktionaer[1:]:
+                if cline and "<br><center><h5>" not in cline:
+                    aktionaer_final.extend(cline.split("<br>"))
+        i += 1
+        aktionaere = pa.parse_aktionaer(aktionaer_final)
+        ret.setdefault("aktionaer", []).extend(aktionaere)
+        return i - 3
+
+    def _fn_public_relations(self, lines, i, ret):
+        """ref parser.js:894-942 (the reference's second parse loop checks a
+        misspelled property and never iterates; mirrored by pushing once)."""
+        self._count("publicRelations")
+        currentline = lines[i]
+        lines_pub = []
+        while True:
+            if currentline.strip() != "":
+                lines_pub.append(currentline)
+            i += 1
+            currentline = lines[i] if i < len(lines) else "<br>"
+            if currentline[:4] == "<br>":
+                break
+        if len(lines_pub) == 1:
+            final = lines_pub[0].split("<br>")[1:]
+        else:
+            final = lines_pub[1].split("<br>")
+        ret.setdefault("publicRelations", [])
+        result = pp.parse_investor_relations(final, self.dicts)
+        ret["publicRelations"].append(result["returnObject"])
+        return i - 1
+
+    def _fn_investor_relations(self, lines, i, ret):
+        """ref parser.js:948-995"""
+        self._count("investorRelations")
+        currentline = lines[i]
+        lines_inv = []
+        while True:
+            if currentline.strip() != "":
+                lines_inv.append(currentline)
+            i += 1
+            currentline = lines[i] if i < len(lines) else "<br>"
+            if currentline[:4] == "<br>":
+                break
+        if len(lines_inv) == 1:
+            final = lines_inv[0].split("<br>")[1:]
+        else:
+            final = lines_inv[1].split("<br>")
+        i += 1
+        ret.setdefault("investorRelations", [])
+        result = pp.parse_investor_relations(final, self.dicts)
+        ret["investorRelations"].append(result["returnObject"])
+        guard = 0
+        while result["restOfLines"] and len(result["restOfLines"]) >= 1 and guard < 50:
+            guard += 1
+            result = pp.parse_investor_relations(result["restOfLines"], self.dicts)
+            ret["investorRelations"].append(result["returnObject"])
+        return i - 2
+
+    def _fn_gesellschafter(self, lines, i, ret):
+        """ref parser.js:1001-1040"""
+        self._count("gesellschafter")
+        i += 1
+        currentline = lines[i]
+        items = []
+        while True:
+            if currentline.strip() != "":
+                for piece in currentline.split("<br>"):
+                    item = piece.strip()
+                    if item:
+                        items.append(item)
+            i += 1
+            currentline = lines[i] if i < len(lines) else "<br><center><h5><table><tr>"
+            if "<br><center><h5><table><tr>" in currentline:
+                break
+        ret["gesellschafter"] = pp.parse_gesellschafter(items, self.dicts)
+        return i - 1
+
+    def _fn_anteilseigner(self, lines, i, ret):
+        """ref parser.js:1046-1088"""
+        self._count("anteilseigner")
+        currentline = lines[i]
+        lines_ant = []
+        while True:
+            if currentline.strip() != "":
+                lines_ant.append(currentline)
+            i += 1
+            currentline = lines[i] if i < len(lines) else None
+            if not currentline or currentline[:4] == "<br>":
+                break
+        if len(lines_ant) == 1:
+            br_split = lines_ant[0].split("<br>")
+            b_split = br_split[0].split("</b>")
+            if len(b_split) >= 2:
+                br_split.append(b_split[1])
+            final = br_split[1:]
+        else:
+            final = lines_ant[1].split("<br>")
+        i += 1
+        ret["anteilsEigner"] = pa.parse_anteils_eigner(final)
+        return i - 3
+
+    def _fn_beteiligungen(self, lines, i, ret):
+        """ref parser.js:1094-1136"""
+        self._count("beteiligungen")
+        originline = i
+        currentline = lines[i]
+        firstline_txt = tu.html_text_to_text(currentline)
+        if not (firstline_txt and len(firstline_txt.replace("beteiligung", "", 1)) > 6):
+            i += 1
+        lines_bet = []
+        while True:
+            if currentline.strip() != "":
+                lines_bet.append(currentline)
+            i += 1
+            currentline = lines[i] if i < len(lines) else "<br><center><h5><table><tr>"
+            if "<br><center><h5><table><tr>" in currentline:
+                break
+        final = pa.prepare_beteiligungen(lines_bet)
+        if final is None:
+            return originline + 1
+        ret["beteiligungen"] = pa.parse_beteiligungen2(final)
+        return originline + 1
+
+    def _fn_wesentliche_beteiligungen(self, lines, i, ret):
+        """ref parser.js:1142-1189"""
+        self._count("beteiligungenWesentliche")
+        i += 1
+        currentline = lines[i] if i < len(lines) else ""
+        lines_bet = []
+        n = len(lines)
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_bet.append(currentline)
+            i += 1
+            currentline = lines[i] if i < n else ""
+            if i >= n:
+                break
+            if not currentline:
+                continue
+            if "b>Kapital" in currentline or "b>Börsen" in currentline:
+                break
+        robj = pt.recognize_table_arrays(lines_bet)
+        tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
+        ret["beteiligungen"] = pa.parse_beteiligungen(
+            robj["tablesArr"], tables_parsed, robj["rest"], robj["infos"]
+        )
+        return i - 2
+
+    def _fn_unternehmensvertraege(self, lines, i, ret):
+        """ref parser.js:1195-1229"""
+        self._count("unternehmensVertraege")
+        i += 1
+        currentline = lines[i] if i < len(lines) else ""
+        items = []
+        while True:
+            if currentline and currentline.strip() != "":
+                for piece in currentline.split("<br>"):
+                    item = piece.strip()
+                    if item:
+                        items.append(item)
+            i += 1
+            currentline = lines[i] if i < len(lines) else "<br><center><h5><table><tr>"
+            if "<br><center><h5><table><tr>" in currentline:
+                break
+        ret["unternehmensVertraege"] = items
+        return i
+
+    # ------------------------------------------------------------------
+    def _fn_kapitalentwicklung(self, lines, i, ret):
+        """ref parser.js:1241-1422"""
+        self._count("kapitalentwicklung")
+        i += 1
+        currentline = lines[i] if i < len(lines) else ""
+        lines_kap = []
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_kap.append(currentline)
+            i += 1
+            currentline = lines[i] if i < len(lines) else "<br><center><h5><table><tr>"
+            if "<br><center><h5><table><tr>" in currentline:
+                break
+        robj = pt.recognize_table_arrays(lines_kap)
+        tables_arr, rest, infos = robj["tablesArr"], robj["rest"], robj["infos"]
+        tables_parsed = pt.create_parsed_tables(tables_arr)
+        rec = pt.recognize_table_content(tables_parsed, "kapitalentwicklung")
+
+        # sanitation: headline-only table followed by unrecognized table
+        # (ref parser.js:1271-1296)
+        substituted: list[str] = []
+        for x in range(len(tables_parsed)):
+            associated = tu.get_keys_by_value(rec, x)
+            if not associated:
+                prev_keys = tu.get_keys_by_value(rec, x - 1)
+                if len(prev_keys) >= 1:
+                    prev_table = tables_parsed[rec[prev_keys[0]]]
+                    if len(prev_table) <= 1:
+                        rec[prev_keys[0]] = x
+                        substituted.append(prev_keys[0])
+
+        def nxt(idx):
+            return pt.get_next_index(rec, idx)
+
+        if "kapitalEntwicklungIndex" in rec:
+            r = pt.parse_kapital_entwicklung(tables_parsed, rec["kapitalEntwicklungIndex"])
+            if r:
+                ret["kapitalEntwicklung"] = r
+        if "grundkapitalIndex" in rec:
+            r = pt.parse_grundkapital(
+                tables_parsed, tables_arr, rest, infos, rec["grundkapitalIndex"]
+            )
+            if r and r.get("grundkapital"):
+                ret["grundkapital"] = r["grundkapital"]
+            if r and r.get("stimmrecht") is not None:
+                ret["stimmrecht"] = r["stimmrecht"]
+            if r and r.get("stückelung") is not None:
+                ret["stückelung"] = r["stückelung"]
+        if "genehmKapitalIndex" in rec:
+            r = pt.parse_genehm_kapital(
+                tables_parsed, tables_arr, rest, infos,
+                rec["genehmKapitalIndex"], nxt(rec["genehmKapitalIndex"]), substituted,
+            )
+            if r:
+                ret["genehmigtesKapital"] = r
+        if "genehmGenusKapitalIndex" in rec:
+            r = pt.parse_genehm_kapital(
+                tables_parsed, tables_arr, rest, infos,
+                rec["genehmGenusKapitalIndex"], nxt(rec["genehmGenusKapitalIndex"]), substituted,
+            )
+            if r:
+                ret["genehmigtesGenusKapital"] = r
+        if "derzeitigesGenusKapitalIndex" in rec:
+            r = pt.parse_grundkapital(
+                tables_parsed, tables_arr, rest, infos,
+                rec["derzeitigesGenusKapitalIndex"], "genu",
+            )
+            if r:
+                ret["derzeitigesGenusKapital"] = r.get("grundkapital")
+        if "entwicklungGenusKapitalIndex" in rec:
+            r = pt.parse_entwicklung_genus_kapital(
+                tables_parsed, rec["entwicklungGenusKapitalIndex"]
+            )
+            if r:
+                ret["entwicklungDesGenusKapitals"] = r
+        if "bedingKapitalIndex" in rec:
+            r = pt.parse_beding_kapital(
+                tables_parsed, tables_arr, rest, infos,
+                rec["bedingKapitalIndex"], nxt(rec["bedingKapitalIndex"]),
+            )
+            if r:
+                ret["bedingtesKapital"] = r
+        if "bedingKapitalIndex2" in rec:
+            r = pt.parse_beding_kapital(
+                tables_parsed, tables_arr, rest, infos,
+                rec["bedingKapitalIndex2"], nxt(rec["bedingKapitalIndex2"]),
+            )
+            if r:
+                ret["bedingtesKapital2"] = r
+        if "besBezugsrechteIndex" in rec:
+            r = pt.parse_bes_bezugsrechte(
+                tables_parsed, tables_arr, rest, infos,
+                rec["besBezugsrechteIndex"], nxt(rec["besBezugsrechteIndex"]),
+            )
+            if r:
+                ret["besBezugsrechte"] = r
+        if "ermaechtigungAktienErwerbIndex" in rec:
+            r = pt.parse_erm_aktienerwerb(
+                tables_parsed, tables_arr, rest, infos,
+                rec["ermaechtigungAktienErwerbIndex"],
+                nxt(rec["ermaechtigungAktienErwerbIndex"]),
+            )
+            if r:
+                ret["ermächtigungAktienerwerb"] = r
+        if "ausgegebenesKapitalIndex" in rec:
+            r = pt.parse_ausgegebenes_kapital(
+                tables_parsed, tables_arr, rest, infos, rec["ausgegebenesKapitalIndex"]
+            )
+            if r:
+                ret["ausgegebenesKapital"] = r
+        return i
+
+    # ------------------------------------------------------------------
+    def _fn_boersenbewertung(self, lines, i, ret):
+        """ref parser.js:1430-1499"""
+        count = self._count("boersenbewertung")
+        currentline = lines[i]
+        lines_bb = []
+        n = len(lines)
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_bb.append(currentline)
+            i += 1
+            currentline = lines[i] if i < n else ""
+            if i >= n:
+                break
+            if not currentline:
+                continue
+            end = currentline.find("b>Bereinigte Kurse")
+            if end != -1:
+                for piece in currentline.split("<br>"):
+                    text = tu.html_text_to_text(piece)
+                    lines_bb.append(text.replace("Bereinigte Kurse", "", 1))
+            if (
+                end != -1
+                or "b>Kurse" in currentline
+                or "b>Dividenden" in currentline
+                or "</body>" in currentline
+                or "b>Kennzahlen" in currentline
+            ):
+                break
+        i -= 1
+        result = pb.parse_boersenbewertung(lines_bb, count)
+        if result:
+            ret.setdefault("boersenbewertung", {})
+            for key, val in result.items():
+                if key not in ret["boersenbewertung"] or not ret["boersenbewertung"][key]:
+                    ret["boersenbewertung"][key] = val
+                elif val:
+                    ret["boersenbewertung"][key].update(val)
+        return i
+
+    def _fn_kurse(self, lines, i, ret):
+        """ref parser.js:1505-1576"""
+        self._count("bereinigtekurse")
+        currentline = lines[i]
+        lines_kurse = []
+        n = len(lines)
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_kurse.append(currentline)
+            i += 1
+            currentline = lines[i] if i < n else ""
+            if i >= n:
+                break
+            if not currentline:
+                continue
+            if any(
+                marker in currentline
+                for marker in (
+                    "<center><img", "b>Dividenden", "b>Halbjahresdividenden",
+                    "b>Quartalsdividenden", "</body>", "br><center><h5><table>",
+                    "<center><b>Kennzahlen", "<br><img", "Wertpapier-Kenn-Nr.:",
+                )
+            ):
+                break
+        robj = pt.recognize_table_arrays(lines_kurse)
+        tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
+        count = self._current_count("boersenbewertung")
+        result = pt.parse_bereinigtekurse(
+            tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
+        )
+        if result:
+            ret.setdefault("boersenbewertung", {})
+            for k, val in result.items():
+                if val and ret["boersenbewertung"].get(k):
+                    ret["boersenbewertung"][k].update(val)
+        i = i - 3
+        return i - 3
+
+    def _fn_dividenden(self, lines, i, ret):
+        """ref parser.js:1582-1643"""
+        self._count("dividenden")
+        currentline = lines[i]
+        lines_div = []
+        n = len(lines)
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_div.append(currentline)
+            i += 1
+            currentline = lines[i] if i < n else ""
+            if i >= n:
+                break
+            if not currentline:
+                continue
+            if any(
+                marker in currentline
+                for marker in (
+                    "<center><b>", "<br><img", "<center><img", "<br><center>",
+                    "</body>", "<br><br>", "Ergebnisabführung",
+                )
+            ):
+                break
+        robj = pt.recognize_table_arrays(lines_div)
+        tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
+        count = self._current_count("boersenbewertung")
+        result = pt.parse_dividenden(
+            tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
+        )
+        ret.setdefault("boersenbewertung", {})
+        for k, val in result.items():
+            if ret["boersenbewertung"].get(k) and val:
+                ret["boersenbewertung"][k].update(val)
+        return i - 3
+
+    def _fn_ergebnisabfuehrung(self, lines, i, ret, recursively=False):
+        """ref parser.js:1649-1656, parser_additions.js:37-110"""
+        count = self._count("ergebnisabfuehrung") if not recursively else self._current_count(
+            "ergebnisabfuehrung"
+        )
+        originline = i
+        i += 1
+        currentline = lines[i] if i < len(lines) else ""
+        lines_eaf = []
+        n = len(lines)
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_eaf.append(currentline)
+            i += 1
+            currentline = lines[i] if i < n else ""
+            if i >= n:
+                break
+            if not currentline:
+                continue
+            if any(
+                marker in currentline
+                for marker in ("<center><b>", "<br><img", "<center><img", "<br><center>", "</body>")
+            ):
+                break
+        table_start = any(cur and "<table" in cur for cur in lines_eaf)
+        if not table_start:
+            isearch = originline
+            cline = ""
+            while (not cline or "<table" not in cline) and isearch >= 0:
+                cline = lines[isearch]
+                isearch -= 1
+            return self._fn_ergebnisabfuehrung(lines, isearch, ret, recursively=True)
+
+        robj = pt.recognize_table_arrays(lines_eaf)
+        tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
+        if not count:
+            count = 1
+        result = pt.parse_ergebnisabfuehrung(
+            tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count, recursively
+        )
+        ret.setdefault("boersenbewertung", {})
+        ret["boersenbewertung"].setdefault(f"boersenbewertung{count}", {}).update(result)
+        return i - 2
+
+    def _fn_kennzahlen(self, lines, i, ret):
+        """ref parser.js:1662-1727"""
+        self._count("kennzahlen")
+        i += 1
+        currentline = lines[i] if i < len(lines) else ""
+        lines_kz = []
+        n = len(lines)
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_kz.append(currentline)
+            i += 1
+            currentline = lines[i] if i < n else ""
+            if i >= n:
+                break
+            if not currentline:
+                continue
+            if any(
+                marker in currentline
+                for marker in ("<center><b>", "<br><img", "<center><img", "<br><center>", "</body>")
+            ):
+                break
+        robj = pt.recognize_table_arrays(lines_kz)
+        tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
+        count = self._current_count("boersenbewertung")
+        if not count:
+            count = 1
+        result = pt.parse_kennzahlen(
+            tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
+        )
+        # reference realReturnObject carries a stray 'refactored' key which the
+        # merge loop materializes as an empty object (parser.js:1707-1722)
+        result["refactored"] = None
+        ret.setdefault("boersenbewertung", {})
+        for k, val in result.items():
+            if not ret["boersenbewertung"].get(k):
+                ret["boersenbewertung"][k] = {}
+            if val:
+                ret["boersenbewertung"][k].update(val)
+        return i - 1
+
+    def _fn_aus_bilanzen(self, lines, i, ret):
+        """ref parser.js:1732-1787"""
+        self._count("aus_bilanzen")
+        headline = lines[i]
+        i += 1
+        currentline = lines[i] if i < len(lines) else ""
+        lines_bil = []
+        n = len(lines)
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_bil.append(currentline)
+            i += 1
+            currentline = lines[i] if i < n else ""
+            if i >= n:
+                break
+            if not currentline:
+                continue
+            if any(
+                marker in currentline
+                for marker in ("<center><b>", "<br><img", "<center><img", "<br><center>", "</body>")
+            ):
+                break
+        robj = pt.recognize_table_arrays(lines_bil)
+        tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
+        result = pt.parse_aus_bilanzen(
+            tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], headline
+        )
+        ret.setdefault("ausBilanzen", []).append(result)
+        return i - 1
+
+    def _fn_aus_guv(self, lines, i, ret):
+        """ref parser.js:1794-1851"""
+        self._count("guv")
+        headline = lines[i]
+        i += 1
+        currentline = lines[i] if i < len(lines) else ""
+        lines_guv = []
+        n = len(lines)
+        while True:
+            if currentline and currentline.strip() != "":
+                lines_guv.append(currentline)
+            i += 1
+            currentline = lines[i] if i < n else ""
+            if i >= n:
+                break
+            if not currentline:
+                continue
+            if any(
+                marker in currentline
+                for marker in ("<center><b>", "<br><img", "<center><img", "<br><center>", "</body>")
+            ):
+                break
+        robj = pt.recognize_table_arrays(lines_guv)
+        tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
+        result = pt.parse_aus_gewinn_und_verlustrechnungen(
+            tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], headline
+        )
+        ret.setdefault("ausGewinnUndVerlust", []).append(result)
+        return i - 1
+
+
+def parse_profile(html: str, dicts: Dictionaries | None = None) -> dict:
+    """Convenience wrapper: one document in, one profile dict out."""
+    return ProfileParser(dicts).parse(html)

@@ -1,0 +1,172 @@
+"""Golden-fixture tests for the profile parser (SURVEY.md §5).
+
+Mirrors the reference's own end-to-end assertions
+(/root/reference/test/parser.test.js:10-24: city == 'Plochingen',
+email.length == 2) plus deeper section checks, running against the
+reference's golden page when available.
+"""
+
+import os
+
+import pytest
+
+from akf_cdparser_ray.parsing.profile_parser import parse_profile
+from akf_cdparser_ray.parsing import validator
+
+FIXTURE = "/root/reference/test/fixtures/html/2005/0003.html.utf8.html"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="reference fixture not available"
+)
+
+
+@pytest.fixture(scope="module")
+def profile():
+    with open(FIXTURE, encoding="utf-8") as f:
+        return parse_profile(f.read())
+
+
+def test_reference_assertions(profile):
+    # ref test/parser.test.js:13-14
+    assert profile["Sitz"][0]["city"] == "Plochingen"
+    assert len(profile["Sitz"][0]["email"]) == 2
+
+
+def test_header(profile):
+    assert profile["name"] == "4MBO International Electronic AG"
+    assert profile["all_wkn_entry"] == [
+        {
+            "type": "Inhaber-Stammaktien",
+            "isin": "DE0005487805",
+            "wkn": "548780",
+            "nw": "1,00 EUR (rechnerisch)",
+        }
+    ]
+
+
+def test_sitz_details(profile):
+    sitz = profile["Sitz"][0]
+    assert sitz["street"] == "Fabrikstr."
+    assert sitz["street_number"] == "45"
+    assert sitz["zip"] == "73207"
+    assert sitz["phone"] == "(07153) 6 63-0"
+    assert sitz["email"][0] == "info@4mbo.de"
+
+
+def test_established_year(profile):
+    assert profile["established_year"] == 1970
+
+
+def test_aufsichtsrat(profile):
+    ar = profile["aufsichtsrat"]
+    assert ar[0]["title"] == "Dr."
+    assert ar[0]["lastName"] == "Kubis"
+    assert ar[0]["funct"] == "Vors."
+    assert ar[1]["funct"] == "stellv. Vors."
+    assert ar[2]["lastName"] == "Speiser"
+
+
+def test_vorstand(profile):
+    flat = profile["vorstand"][0]
+    assert flat[0]["lastName"] == "Eichinger"
+    assert flat[1]["lastName"] == "Klein"
+    assert flat[1]["cityAcc"] == "Plochingen"
+
+
+def test_organbezuege(profile):
+    ob = profile["organbezuege"][0]
+    assert ob[0] == {"jahr": "2002", "organ": "Vorstand", "bezuege": "TEUR 623"}
+    assert ob[1] == {"jahr": "2002", "organ": "Aufsichtsrat", "bezuege": "TEUR 26"}
+
+
+def test_gesellschafter_aktionaere(profile):
+    ak = profile["gesellschafter"]["aktionaere"]
+    assert ak[0]["anteil"] == "7,33%"
+    assert ak[1]["bemerkungen"] == ["Anteilseigner: Christof Klein, Plochingen, 100%"]
+    assert ak[3]["name"] == "Streubesitz"
+    assert ak[3]["anteil"] == "84,33%"
+
+
+def test_kapitalentwicklung(profile):
+    ke = profile["kapitalEntwicklung"]
+    assert ke[0]["jahr"] == "1999"
+    assert ke[0]["eintraege"][0]["art"] == "Gründungskapital"
+    assert ke[0]["eintraege"][0]["betrag"] == "DM 1 000 000,00"
+    assert ke[0]["eintraege"][0]["text"] == "der AG"
+    assert ke[1]["jahr"] == "2000"
+    assert len(ke[1]["eintraege"]) == 5
+
+
+def test_grundkapital_stueckelung_stimmrecht(profile):
+    assert profile["grundkapital"]["betrag"] == "EUR 6 000 000,00"
+    assert profile["stückelung"] == ["6 000 000 Stückaktien o.N."]
+    assert profile["stimmrecht"] == [" Je Stückaktie = 1 Stimme"]
+
+
+def test_genehm_beding_kapital(profile):
+    assert profile["genehmigtesKapital"]["genehmKapital"]["betrag"] == "EUR 3 000 000,00"
+    bk = profile["bedingtesKapital"]["bedingkapital"]
+    assert bk["betrag"] == "EUR 400 000,00"
+    assert {"bemerkung": "Aktienoptionsplan"} in bk["eintraege"]
+
+
+def test_boersenbewertung(profile):
+    b1 = profile["boersenbewertung"]["boersenbewertung1"]
+    assert b1["wkns"][0]["nummer"] == "548780"
+    assert b1["isins"][0]["nummer"] == "DE0005487805"
+    assert any("Geregelter Markt Frankfurt" in n for n in b1["notizen_kennzahlen"])
+
+
+def test_kurse(profile):
+    kurse = profile["boersenbewertung"]["boersenbewertung1"]["kurse"]
+    by_year = {k["jahr"]: k for k in kurse}
+    assert by_year["2000"]["hoechst"] == "39,50"
+    assert by_year["2005"]["kommentar"] == "bis 12.07."
+    assert by_year["2001"]["ultimo"] == "5,40"
+    assert len(kurse) == 6
+
+
+def test_dividenden(profile):
+    div = profile["boersenbewertung"]["boersenbewertung1"]["dividenden"]
+    assert div[0] == {"jahr": "2000", "dividende": "eur 0", "bonus": "-", "extag": "12.06.01"}
+    assert len(div) == 3
+
+
+def test_kennzahlen_dynamic_keys(profile):
+    kz = profile["boersenbewertung"]["boersenbewertung1"]["kennzahlen"]
+    konzern = kz["Konzern"]
+    assert konzern[0]["Investitionen (Mio EUR)"] == "2,6"
+    assert konzern[2]["jahr"] == "2002\xa0i)"
+    besch = kz["Beschäftigte"]
+    assert besch[2]["GJ-Ende"] == "141"
+
+
+def test_aus_bilanzen_column_ids(profile):
+    ab = profile["ausBilanzen"][0]
+    assert ab["waehrung"] == "in TEUR"
+    aktiva = ab["ausBilanzen"]["Aktiva"]
+    ags = [a for a in aktiva if a.get("columnId") == "AG"]
+    konzern = [a for a in aktiva if a.get("columnId") == "Konzern"]
+    assert ags[0]["anlagevermögen"] == "3\xa0328"
+    assert konzern[1]["vorräte"] == "32\xa0773"
+
+
+def test_guv(profile):
+    guv = profile["ausGewinnUndVerlust"][0]["ausGewinnUndVerlustRechnung"]
+    assert guv[0]["umsatz"] == "192\xa0568"
+    assert guv[0]["columnId"] == "AG"
+    assert guv[3]["jahr"] == "2002\xa0i)"
+
+
+def test_validator_negative():
+    ok, errors = validator.validate({"wkn": 548780})
+    assert ok
+    ok, errors = validator.validate({})
+    assert not ok  # ref test/parser.test.js:20-21 (delete wkn → invalid)
+
+
+def test_subtraction_residue(profile):
+    # coverage-by-subtraction (ref lib/validator.js:46-58): most of the page
+    # content must be consumed by parsed values
+    ratio = validator.coverage_ratio(profile)
+    assert ratio > 0.65, f"coverage only {ratio:.2f}"
