@@ -18,6 +18,8 @@ import json
 import os
 import re
 
+from ..functions.regex_lib import remove_leading_character
+
 _REFERENCE_DICTFILES = "/root/reference/dictfiles"
 
 # Minimal standalone fallback (common German honorifics / board functions)
@@ -139,8 +141,6 @@ class Dictionaries:
     def check_if_title_is_in_array(
         self, data: list[str], seperator: str = ",", matching: str = "normal"
     ) -> dict:
-        from ..functions.regex_lib import remove_leading_character
-
         ret = {
             "titleDetected": "",
             "hasTitle": False,

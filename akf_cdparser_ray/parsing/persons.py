@@ -11,6 +11,7 @@ import re
 
 from ..functions import regex_lib as rl
 from ..functions import text_utils as tu
+from . import aktionaer as pa
 from .dictionaries import Dictionaries
 
 _PERS_HAFTEND_RE = re.compile(r"\(persönlich haftend\)", re.IGNORECASE)
@@ -224,8 +225,6 @@ def parse_investor_relations(lines: list[str], dicts: Dictionaries) -> dict:
 def parse_gesellschafter(items: list[str], dicts: Dictionaries) -> dict:
     """Mode machine over Gesellschafter / Kommanditisten / Aktionäre /
     Anteilseigner / Komplementär headers (ref parser_persons.js:369-452)."""
-    from . import aktionaer as pa
-
     ret: dict = {}
     mode = ""
     for cur in items:

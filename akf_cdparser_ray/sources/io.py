@@ -1,0 +1,107 @@
+"""Table IO (SURVEY.md §2.1 S1-S4).
+
+Primary sink is Lance when the ``lance`` package is available (the
+BASELINE.json target format); otherwise partitioned Parquet with identical
+layout semantics — one directory per partition, atomically renamed, plus a
+``_MANIFEST.json`` of finished partitions so a killed run resumes by
+skipping them (resumable-output requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - lance not present in this sandbox
+    import lance  # type: ignore
+
+    HAVE_LANCE = True
+except ImportError:
+    lance = None
+    HAVE_LANCE = False
+
+
+def write_table(table: pa.Table, uri: str) -> str:
+    """Write one Arrow table to ``uri`` (Lance dataset or a parquet file)."""
+    if HAVE_LANCE:  # pragma: no cover
+        lance.write_dataset(table, uri, mode="overwrite")
+        return uri
+    path = uri if uri.endswith(".parquet") else uri + ".parquet"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pq.write_table(table, path)
+    return path
+
+
+def read_table(uri: str) -> pa.Table:
+    if HAVE_LANCE and os.path.isdir(uri):  # pragma: no cover
+        return lance.dataset(uri).to_table()
+    path = uri if uri.endswith(".parquet") else uri + ".parquet"
+    return pq.read_table(path)
+
+
+# ---------------------------------------------------------------------------
+# partitioned, resumable sink
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "_MANIFEST.json")
+
+
+def load_manifest(root: str) -> dict:
+    p = _manifest_path(root)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"partitions": {}}
+
+
+def _store_manifest(root: str, manifest: dict) -> None:
+    tmp = _manifest_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(root))
+
+
+def partition_done(root: str, key: str) -> bool:
+    return key in load_manifest(root)["partitions"]
+
+
+def write_partition(table: pa.Table, root: str, key: str, lineage: dict | None = None) -> str:
+    """Atomically write one partition dir + record it in the manifest.
+
+    ``lineage`` (wave, shard, input fragments…) is stored with the entry so a
+    resume can verify provenance (per-partition lineage requirement).
+    """
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, key)
+    tmpdir = tempfile.mkdtemp(dir=root, prefix=f".{key.replace('/', '_')}.tmp")
+    try:
+        pq.write_table(table, os.path.join(tmpdir, "part-0.parquet"))
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmpdir, final)
+    except Exception:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
+    manifest = load_manifest(root)
+    manifest["partitions"][key] = {"rows": table.num_rows, "lineage": lineage or {}}
+    _store_manifest(root, manifest)
+    return final
+
+
+def read_partitions(root: str) -> pa.Table:
+    manifest = load_manifest(root)
+    tables = []
+    for key in sorted(manifest["partitions"]):
+        part = os.path.join(root, key, "part-0.parquet")
+        if os.path.exists(part):
+            tables.append(pq.read_table(part))
+    if not tables:
+        raise FileNotFoundError(f"no completed partitions under {root}")
+    return pa.concat_tables(tables)

@@ -1,0 +1,99 @@
+"""The parse stage — ``map_batches`` actor pool (SURVEY.md §2.3 ST1-ST3).
+
+One callable class = one actor pool: the title/funct dictionaries load once
+per actor in ``__init__`` (the equivalent of the reference's module-scope
+load at ``lib/parser.js:33-34``); ``__call__`` parses a batch of pages into
+caption strings. Per-row try/except mirrors the reference's failed-file
+stack (``bin/akf-html2json:114-119``): a bad page becomes a ``status='error'``
+row, it never kills a block.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..parsing.dictionaries import Dictionaries
+from ..parsing.profile_parser import ProfileParser
+from ..parsing import validator
+from ..sources.synth import canonical_caption
+
+
+class ParseProfiles:
+    """pages batch (PAGES_SCHEMA) → pairs batch (+ status/error columns).
+
+    Use as ``ds.map_batches(ParseProfiles, batch_format="pyarrow",
+    batch_size=64, concurrency=(min,max), num_cpus=1)``.
+    """
+
+    def __init__(self, dictfiles_dir: str | None = None, with_residue: bool = False):
+        self.parser = ProfileParser(Dictionaries(dictfiles_dir))
+        self.with_residue = with_residue
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        captions: list[str | None] = []
+        statuses: list[str] = []
+        errors: list[str] = []
+        residues: list[float] = []
+        for html in htmls:
+            try:
+                parsed = self.parser.parse(html)
+                captions.append(canonical_caption(parsed))
+                statuses.append("ok")
+                errors.append("")
+                if self.with_residue:
+                    residues.append(validator.coverage_ratio(parsed))
+            except Exception as exc:  # mirror failed[]-and-continue semantics
+                captions.append(None)
+                statuses.append("error")
+                errors.append(repr(exc)[:500])
+                if self.with_residue:
+                    residues.append(0.0)
+        cols = {
+            "image_id": batch.column("image_id"),
+            "bytes": batch.column("bytes"),
+            "w": batch.column("w"),
+            "h": batch.column("h"),
+            "fmt": batch.column("fmt"),
+            "caption": pa.array(captions, pa.string()),
+            "phash": batch.column("phash"),
+            "status": pa.array(statuses, pa.string()),
+            "error": pa.array(errors, pa.string()),
+        }
+        if self.with_residue:
+            cols["coverage"] = pa.array(residues, pa.float64())
+        return pa.table(cols)
+
+
+class ValidateProfiles:
+    """Validation operator (SURVEY.md §3.2): caption JSON → (valid, errors).
+
+    Stateless — plain function semantics, kept as a class only for symmetry;
+    cheap enough for task-based ``map_batches``.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        valids = []
+        errs = []
+        for cap in batch.column("caption").to_pylist():
+            if cap is None:
+                valids.append(False)
+                errs.append("no caption")
+                continue
+            data = json.loads(cap)
+            # wkn in the caption lives in all_wkn_entry (parser semantics);
+            # surface it as the schema's required numeric field
+            entries = data.get("all_wkn_entry") or []
+            if entries and entries[0].get("wkn"):
+                try:
+                    data["wkn"] = int(entries[0]["wkn"])
+                except (TypeError, ValueError):
+                    pass
+            ok, errors = validator.validate(data)
+            valids.append(ok)
+            errs.append("; ".join(errors))
+        return batch.append_column("valid", pa.array(valids, pa.bool_())).append_column(
+            "validation_errors", pa.array(errs, pa.string())
+        )
