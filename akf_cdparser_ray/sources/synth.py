@@ -496,7 +496,9 @@ def page_url(profile: dict, n_hosts: int = 20, hot_share: float = 0.5) -> str:
         host = "host0.example"
     else:
         host = f"host{1 + rng.randrange(n_hosts - 1)}.example"
-    return f"http://{host}/{profile['year']}/{profile['idx'] % 10000:04d}.html"
+    # path carries the full corpus index so a fetcher can regenerate the
+    # exact page from the URL alone (synthetic-fetch determinism)
+    return f"http://{host}/{profile['year']}/{profile['idx']}.html"
 
 
 def make_image(profile: dict) -> tuple[bytes, np.ndarray]:

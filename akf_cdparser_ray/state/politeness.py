@@ -1,0 +1,97 @@
+"""Per-host politeness budget + robots rules (SURVEY.md §2.3 ST6).
+
+Deterministic by construction: the budget is expressed in *fetches per wave*
+(token-bucket refill per crawl step), never wall-clock — so the same seed
+list + budget always yields the same crawl ordering (replay invariant,
+BASELINE.json north rule).
+"""
+
+from __future__ import annotations
+
+
+DEFAULT_BUDGET = {"per_wave": 8, "burst": 16}
+
+
+class TokenBucket:
+    """Wave-refilled token bucket: ``per_wave`` tokens added per wave,
+    capped at ``burst``; spending is integer and deterministic."""
+
+    def __init__(self, per_wave: int, burst: int):
+        self.per_wave = per_wave
+        self.burst = burst
+        self.tokens = burst
+        self.wave = 0
+
+    def refill(self, wave: int) -> None:
+        if wave > self.wave:
+            self.tokens = min(self.burst, self.tokens + (wave - self.wave) * self.per_wave)
+            self.wave = wave
+
+    def try_take(self, n: int = 1) -> bool:
+        if self.tokens >= n:
+            self.tokens -= n
+            return True
+        return False
+
+
+def synth_robots_txt(host: str) -> str:
+    """Deterministic synthetic robots.txt per host (FIXTURES.md §3):
+    every host disallows one year-directory derived from its name."""
+    num = sum(ord(c) for c in host) % 17
+    denied_year = 1999 + num
+    return f"User-agent: *\nDisallow: /{denied_year}/\nDisallow: /private/\n"
+
+
+class RobotsRules:
+    """Tiny robots.txt evaluator: ``Disallow`` prefix rules for ``*``."""
+
+    def __init__(self, text: str):
+        self.disallow: list[str] = []
+        active = False
+        for line in text.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            key, _, val = line.partition(":")
+            key = key.strip().lower()
+            val = val.strip()
+            if key == "user-agent":
+                active = val == "*"
+            elif key == "disallow" and active and val:
+                self.disallow.append(val)
+
+    def allowed(self, path: str) -> bool:
+        return not any(path.startswith(d) for d in self.disallow)
+
+
+class PolitenessState:
+    """Robots cache + token buckets for the hosts one gate actor owns.
+
+    Held inside a ``map_groups`` callable class (actor pool): robots text is
+    fetched/parsed once per host per actor and cached across batches.
+    """
+
+    def __init__(self, budgets: dict | None = None, robots_fetch=synth_robots_txt):
+        self.budgets = budgets or {}
+        self.robots_fetch = robots_fetch
+        self.robots_cache: dict[str, RobotsRules] = {}
+        self.buckets: dict[str, TokenBucket] = {}
+
+    def rules_for(self, host: str) -> RobotsRules:
+        rules = self.robots_cache.get(host)
+        if rules is None:
+            rules = RobotsRules(self.robots_fetch(host))
+            self.robots_cache[host] = rules
+        return rules
+
+    def bucket_for(self, host: str, n_salts: int = 1) -> TokenBucket:
+        """Hot hosts are salted over several gate groups; each salted bucket
+        gets 1/n_salts of the host budget (shared-budget split)."""
+        b = self.buckets.get(host)
+        if b is None:
+            cfg = self.budgets.get(host, DEFAULT_BUDGET)
+            per_wave = max(1, cfg["per_wave"] // n_salts)
+            burst = max(1, cfg["burst"] // n_salts)
+            b = TokenBucket(per_wave, burst)
+            self.buckets[host] = b
+        return b
