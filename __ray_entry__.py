@@ -83,33 +83,43 @@ def q_pricing_summary(sf_dir: str):
 
         mask = pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff).cast(batch["l_shipdate"].type))
         batch = batch.filter(mask)
-        disc_price = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        # exact integer-cent arithmetic: per-row rounding of bit-identical
+        # doubles, then order-independent int64 sums (float sums are
+        # order-dependent and break bit-exact oracle comparison)
+        rmode = {"round_mode": "half_towards_infinity"}  # match DuckDB round()
+        qty_c = pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100.0), **rmode), pa.int64())
+        base_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0), **rmode), pa.int64())
+        disc_c = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])),
+                    100.0,
+                ),
+                **rmode,
+            ),
+            pa.int64(),
         )
-        return batch.append_column("disc_price", disc_price).select(
-            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_c": qty_c,
+                "base_c": base_c,
+                "disc_c": disc_c,
+            }
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
     out = partial_groupby_sum(
         ds,
         ["l_returnflag", "l_linestatus"],
-        ["l_quantity", "l_extendedprice", "disc_price"],
+        ["qty_c", "base_c", "disc_c"],
         count_alias="count_order",
     )
-    import pandas as pd
-
     df = out.to_pandas()
-    df = df.rename(
-        columns={
-            "l_quantity": "sum_qty",
-            "l_extendedprice": "sum_base_price",
-            "disc_price": "sum_disc_price",
-        }
-    )
-    # round like the oracle does: float sums are order-dependent at ~1e-6
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        df[c] = df[c].round(2)
+    df["sum_qty"] = df.pop("qty_c") / 100.0
+    df["sum_base_price"] = df.pop("base_c") / 100.0
+    df["sum_disc_price"] = df.pop("disc_c") / 100.0
     return df[
         ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order"]
     ]
@@ -138,11 +148,170 @@ def q_event_counters(sf_dir: str):
     return df[["event_type", "total_value", "n"]]
 
 
+def q_token_counts(sf_dir: str):
+    """Token counting (whitespace + BPE-ish regex) over documents."""
+    from akf_cdparser_ray.stages.text_analysis import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pandas").to_pandas()
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality signals (length / words / alphabetic ratio) over documents."""
+    from akf_cdparser_ray.stages.text_analysis import quality_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pandas").to_pandas()
+
+
+def q_fingerprints(sf_dir: str):
+    """Canonical md5 content fingerprint per document."""
+    from akf_cdparser_ray.stages.text_analysis import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pandas").to_pandas()
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID (rows-only check: no SQL oracle)."""
+    from akf_cdparser_ray.stages.text_analysis import langid_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(langid_batch, batch_format="pandas").to_pandas()
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified (rows-only)."""
+    from akf_cdparser_ray.stages.dedup_text import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash per document (rows-only; deterministic)."""
+    from akf_cdparser_ray.stages.dedup_text import simhash_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pandas").to_pandas()
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    from akf_cdparser_ray.stages.dedup_text import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # random synthetic embeddings have no true dups; a low threshold + coarse
+    # buckets keeps the check non-trivial at every sf
+    return embedding_neardup_pairs(ds, threshold=0.3, nbits=6)
+
+
+_ANN_QUERY_IDS = [0, 1, 2]
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for three query vectors (exact baseline)."""
+    import pyarrow.parquet as pq
+
+    from akf_cdparser_ray.stages.ann import bruteforce_topk
+
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    lookup = {
+        int(v): e
+        for v, e in zip(emb.column("vec_id").to_pylist(), emb.column("embedding").to_pylist())
+        if int(v) in _ANN_QUERY_IDS
+    }
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return bruteforce_topk(ds, {qid: lookup[qid] for qid in _ANN_QUERY_IDS}, k=10)
+
+
+def q_window_hourly(sf_dir: str):
+    """Tumbling 1h windows per event_type (count + sum)."""
+    from akf_cdparser_ray.stages.windows import tumbling_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return tumbling_window_counts(ds, freq="h")
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: latest order per customer at or before each event ts."""
+    import pyarrow.parquet as pq
+
+    from akf_cdparser_ray.stages.windows import asof_join_events_orders
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"]
+    ).to_pandas()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return asof_join_events_orders(ds, orders)
+
+
+def q_topk_per_shard(sf_dir: str):
+    """Frontier-dequeue pattern: per-shard priority top-k, deterministic
+    tie-breaks (the crawl dequeue expressed relationally)."""
+    from akf_cdparser_ray.stages.windows import topk_per_shard
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return topk_per_shard(ds, num_shards=4, k=3)
+
+
+def q_anti_join(sf_dir: str):
+    """URL-seen anti-join pattern: event users unknown to customer keys."""
+    import pyarrow.parquet as pq
+
+    from akf_cdparser_ray.stages.windows import anti_join_new_users
+
+    keys = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).column("c_custkey").to_pylist()
+    # restrict the known set so the anti-join is non-trivial at every sf
+    keys = [k for k in keys if k % 3 != 0]
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return anti_join_new_users(ds, keys)
+
+
+def q_host_counts(sf_dir: str):
+    """URL canonicalization demo: synthesize URLs from events, canonicalize,
+    count per host (matches the SQL mirror string-for-string)."""
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.links import canonicalize_url, host_of
+    from akf_cdparser_ray.stages.relational import partial_groupby_sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def mk(batch: pd.DataFrame) -> pd.DataFrame:
+        urls = [
+            canonicalize_url(f"HTTP://Host{u % 7}.example/p/{e}/")
+            for u, e in zip(batch["user_id"], batch["event_id"])
+        ]
+        return pd.DataFrame({"host": [host_of(u) for u in urls], "one": 1})
+
+    out = partial_groupby_sum(ds.map_batches(mk, batch_format="pandas"), ["host"], ["one"])
+    df = out.to_pandas().rename(columns={"one": "n"})
+    return df[["host", "n"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
         "exact_dedup": q_exact_dedup,
         "event_counters": q_event_counters,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "fingerprints": q_fingerprints,
+        "langid": q_langid,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "window_hourly": q_window_hourly,
+        "asof_join": q_asof_join,
+        "topk_per_shard": q_topk_per_shard,
+        "anti_join": q_anti_join,
+        "host_counts": q_host_counts,
     }
 
 
@@ -150,10 +319,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2)      AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   count(*)                       AS count_order
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+                       AS sum_disc_price,
+                   count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -164,5 +334,66 @@ def oracle_sql() -> dict[str, str]:
         "event_counters": """
             SELECT event_type, sum(value) AS total_value, count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2))
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.query_id, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                                    e.vec_id
+                       ) AS rank
+                FROM embeddings e CROSS JOIN q
+            ) WHERE rank <= 10
+        """,
+        "window_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   round(sum(value), 6) AS total_value, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id, o.o_orderdate
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "topk_per_shard": """
+            SELECT shard, event_id, round(value, 6) AS value, rank FROM (
+                SELECT user_id % 4 AS shard, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id % 4
+                           ORDER BY value DESC, event_id
+                       ) AS rank
+                FROM events
+            ) WHERE rank <= 3
+        """,
+        "anti_join": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN
+                (SELECT c_custkey FROM customer WHERE c_custkey % 3 != 0)
+        """,
+        "host_counts": """
+            SELECT lower('Host' || (user_id % 7) || '.example') AS host,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
     }

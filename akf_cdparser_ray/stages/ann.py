@@ -1,0 +1,91 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), every batch does one numpy matmul and emits its local top-k,
+and the driver merges the tiny per-batch partials (distributed top-k, no
+shuffle of the embedding payload). Scale path: the ``HyperplaneLSH`` buckets
+from ``dedup_text`` restrict the scan to matching buckets (IVF-style).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+class BruteForceScorer:
+    """batch → local top-k rows per query (query_id, vec_id, sim)."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = list(q.keys())
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in q.values()])
+        self.qmat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        emb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12)
+        sims = emb @ self.qmat.T  # (batch, nq)
+        vec_ids = batch["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, len(vec_ids))
+        for qi, qid in enumerate(self.qids):
+            col = sims[:, qi]
+            # local top-k with deterministic (sim desc, vec_id asc) order
+            idx = np.lexsort((vec_ids, -col))[:k]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(vec_ids[idx])
+            out_s.extend(col[idx])
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+
+
+def bruteforce_topk(emb_ds, query_vectors: dict, k: int = 10, concurrency: int = 2) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector → (query_id, vec_id, rank)."""
+    ref = ray.put(query_vectors)
+    partials = emb_ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+    ).to_pandas()
+    rows = []
+    for qid, group in partials.groupby("query_id"):
+        top = heapq.nsmallest(k, group.itertuples(index=False), key=lambda r: (-r.sim, r.vec_id))
+        for rank, r in enumerate(top, 1):
+            rows.append((qid, int(r.vec_id), rank))
+    return (
+        pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"])
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def lsh_topk(emb_ds, query_vectors: dict, k: int = 10, nbits: int = 8, concurrency: int = 2):
+    """Approximate top-k: scan only vectors whose LSH bucket matches a query
+    bucket (IVF-ish). Falls back to exact ranking within the candidate set."""
+    from .dedup_text import HyperplaneLSH
+
+    first = emb_ds.take(1)[0]
+    dim = len(first["embedding"])
+    lsh = HyperplaneLSH(dim=dim, nbits=nbits)
+    qids = list(query_vectors.keys())
+    qmat = np.stack([np.asarray(v, dtype=np.float32) for v in query_vectors.values()])
+    signs = (qmat @ lsh.planes.T) > 0
+    qbuckets = {
+        qid: int.from_bytes(np.packbits(row)[:2].tobytes(), "little")
+        for qid, row in zip(qids, signs)
+    }
+    wanted = set(qbuckets.values())
+
+    def filter_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = lsh(batch)
+        keep = sub["bucket"].isin(wanted).to_numpy()
+        return batch[keep]
+
+    cand = emb_ds.map_batches(filter_bucket, batch_format="pandas")
+    return bruteforce_topk(cand, query_vectors, k, concurrency)

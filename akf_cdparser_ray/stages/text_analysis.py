@@ -1,0 +1,84 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting,
+document fingerprinting — each a vectorized ``map_batches`` stage over the
+``documents`` table. Oracle-checkable ones mirror exact SQL expressions
+(see ``__ray_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+_WS_RE = re.compile(r"\s+")
+_BPE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+_ALPHA_RE = re.compile(r"[^a-zA-Z]")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "a", "and", "of", "to", "in", "is", "on", "for", "with", "fast", "slow"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "mit", "für", "auf", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans", "avec"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "para", "en", "con"},
+    "zh": set(),  # fallback: CJK codepoint ratio decides
+}
+
+
+def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    texts = batch["text"].fillna("")
+    batch = batch[["doc_id"]].copy()
+    batch["n_tokens"] = [len(_WS_RE.split(t.strip())) if t.strip() else 0 for t in texts]
+    batch["n_bpe_tokens"] = [len(_BPE_RE.findall(t)) for t in texts]
+    return batch
+
+
+def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Length / word-count / alphabetic-ratio quality signals."""
+    texts = batch["text"].fillna("")
+    out = batch[["doc_id"]].copy()
+    out["n_chars_m"] = [len(t) for t in texts]
+    out["n_words"] = [len(_WS_RE.split(t.strip())) if t.strip() else 0 for t in texts]
+    # integer count instead of a ratio: float rounding rules differ between
+    # engines (banker's vs half-away), integers hash identically everywhere
+    out["n_alpha"] = [len(_ALPHA_RE.sub("", t)) for t in texts]
+    return out
+
+
+def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Canonical content fingerprint: md5 of lower(trim(text)) — the exact
+    expression DuckDB computes, so the oracle is bit-identical."""
+    out = batch[["doc_id"]].copy()
+    out["fp"] = [
+        hashlib.md5(str(t).strip().lower().encode("utf-8")).hexdigest()
+        for t in batch["text"].fillna("")
+    ]
+    return out
+
+
+def _cjk_ratio(t: str) -> float:
+    if not t:
+        return 0.0
+    cjk = sum(1 for ch in t if "一" <= ch <= "鿿")
+    return cjk / len(t)
+
+
+def langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Stopword-profile language ID (heuristic, rows-only check)."""
+    out = batch[["doc_id"]].copy()
+    preds = []
+    for t in batch["text"].fillna(""):
+        if _cjk_ratio(t) > 0.05:
+            preds.append("zh")
+            continue
+        words = set(w.lower() for w in _WS_RE.split(t) if w)
+        scores = {
+            lang: len(words & prof) for lang, prof in _LANG_PROFILES.items() if prof
+        }
+        best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+        preds.append(best[0] if best[1] > 0 else "unk")
+    out["lang_pred"] = preds
+    return out

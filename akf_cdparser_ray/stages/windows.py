@@ -1,0 +1,107 @@
+"""Stream-shaped operators over the ordered ``events`` log.
+
+Ray Data has no event-time windows; per the engine design, windows are
+``floor(ts)`` keys + partial-then-final aggregation, and the as-of join is a
+broadcast ``merge_asof`` per batch (the small side — orders — ships once via
+``ray.put``; nothing shuffles).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray
+
+
+def tumbling_window_counts(events_ds, freq: str = "h"):
+    """Tumbling-window counts/sums per (window_start, event_type)."""
+    import pyarrow as pa
+
+    from .relational import partial_groupby_sum
+
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "window_start": batch["ts"].dt.floor(freq),
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+        return out
+
+    ds = events_ds.map_batches(add_window, batch_format="pandas")
+    out = partial_groupby_sum(ds, ["window_start", "event_type"], ["value"], count_alias="n")
+    df = out.to_pandas().rename(columns={"value": "total_value"})
+    df["total_value"] = df["total_value"].round(6)
+    return df[["window_start", "event_type", "total_value", "n"]]
+
+
+def asof_join_events_orders(events_ds, orders_df: pd.DataFrame) -> pd.DataFrame:
+    """For each event, the latest order of the same customer at or before the
+    event timestamp (inner as-of). Returns (event_id, user_id, o_orderdate)."""
+    orders_sorted = orders_df.sort_values("o_orderdate").reset_index(drop=True)
+    orders_ref = ray.put(orders_sorted)
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(orders_ref) if isinstance(orders_ref, ray.ObjectRef) else orders_ref
+        left = batch[["event_id", "user_id", "ts"]].sort_values("ts").reset_index(drop=True)
+        joined = pd.merge_asof(
+            left,
+            right[["o_custkey", "o_orderdate"]],
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            direction="backward",
+        )
+        joined = joined.dropna(subset=["o_orderdate"])
+        return joined[["event_id", "user_id", "o_orderdate"]]
+
+    return (
+        events_ds.map_batches(per_batch, batch_format="pandas", batch_size=4096)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def topk_per_shard(events_ds, num_shards: int = 4, k: int = 3) -> pd.DataFrame:
+    """The frontier-dequeue pattern over events: per-shard priority top-k
+    with deterministic tie-breaks (value desc, event_id asc)."""
+
+    def add_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[["event_id", "user_id", "value"]].copy()
+        batch["shard"] = (batch["user_id"] % num_shards).astype("int64")
+        return batch
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    out = (
+        events_ds.map_batches(add_shard, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["value"] = out["value"].round(6)
+    return out[["shard", "event_id", "value", "rank"]].sort_values(
+        ["shard", "rank"]
+    ).reset_index(drop=True)
+
+
+def anti_join_new_users(events_ds, known_keys) -> pd.DataFrame:
+    """Broadcast anti-join: distinct event users not present in the known-key
+    set (the URL-seen semi/anti-join pattern with a broadcast small side)."""
+    keys_ref = ray.put(frozenset(int(k) for k in known_keys))
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        known = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+        sub = batch[~batch["user_id"].isin(known)]
+        return sub[["user_id"]].drop_duplicates()
+
+    out = events_ds.map_batches(filt, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64")})
+    return out.drop_duplicates().sort_values("user_id").reset_index(drop=True)

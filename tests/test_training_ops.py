@@ -1,0 +1,167 @@
+"""Tests for the training-data operators: dedup (minhash/simhash/embedding/
+phash), ANN, text analysis, windows/as-of."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from akf_cdparser_ray.stages import dedup_images, dedup_text, text_analysis
+from akf_cdparser_ray.sources import images as im
+from akf_cdparser_ray.sources import synth
+
+
+def test_minhash_similarity_property():
+    a, b = dedup_text._perm_params(128)
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    t3 = "completely different words entirely unrelated content here now"
+    s1 = dedup_text.minhash_signature(dedup_text._word_shingles(t1), a, b)
+    s2 = dedup_text.minhash_signature(dedup_text._word_shingles(t2), a, b)
+    s3 = dedup_text.minhash_signature(dedup_text._word_shingles(t3), a, b)
+    est12 = (s1 == s2).mean()
+    est13 = (s1 == s3).mean()
+    true12 = dedup_text.jaccard(
+        dedup_text._word_shingles(t1), dedup_text._word_shingles(t2)
+    )
+    assert abs(est12 - true12) < 0.25
+    assert est13 < 0.1 < est12
+
+
+def test_simhash_locality():
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "alpha beta gamma delta epsilon zeta eta iota"
+    t3 = "xyz uvw rst opq lmn ijk"
+    h1, h2, h3 = (dedup_text.simhash64(t) for t in (t1, t2, t3))
+    assert im.hamming64(h1, h2) < im.hamming64(h1, h3)
+
+
+def test_phash_neardup_pairs():
+    p0 = synth.gen_profile(0)
+    _, pix = synth.make_image(p0)
+    noisy = pix.copy()
+    noisy[::17, ::17] ^= 1
+    df = pd.DataFrame(
+        {
+            "image_id": ["a", "a_dup", "b"],
+            "phash": [
+                im.phash64(pix),
+                im.phash64(noisy),
+                im.phash64(synth.make_image(synth.gen_profile(9))[1]),
+            ],
+        }
+    )
+    pairs = dedup_images.phash_neardup_pairs(df, max_hamming=6)
+    assert ("a", "a_dup") in set(zip(pairs["image_a"], pairs["image_b"]))
+    assert ("a", "b") not in set(zip(pairs["image_a"], pairs["image_b"]))
+
+
+def test_text_analysis_kernels():
+    batch = pd.DataFrame({"doc_id": [1, 2], "text": ["Hello, world!", "  "]})
+    tok = text_analysis.token_count_batch(batch)
+    assert tok["n_tokens"].tolist() == [2, 0]
+    assert tok["n_bpe_tokens"].tolist() == [4, 0]
+    q = text_analysis.quality_score_batch(batch)
+    assert q["n_chars_m"].tolist() == [13, 2]
+    assert q["n_alpha"].tolist() == [10, 0]
+    fp = text_analysis.fingerprint_batch(batch)
+    assert len(fp["fp"][0]) == 32
+
+
+def test_langid_heuristic():
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the fast table is on the line for a scan",
+                "le chat est dans la maison avec un livre",
+                "der Hund ist ein Tier und das ist gut",
+            ],
+        }
+    )
+    out = text_analysis.langid_batch(batch)
+    assert out["lang_pred"].tolist() == ["en", "fr", "de"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_planted_dups():
+    import ray.data as rd
+
+    base = "spark shuffle sort merge join partition table row batch value " * 5
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                base,
+                base + " extra tail words",          # near-dup of 0
+                "unrelated content about gardens flowers bees " * 5,
+                base.replace("spark", "flink"),      # still similar
+            ],
+        }
+    )
+    pairs = dedup_text.minhash_lsh_pairs(rd.from_pandas(docs), threshold=0.5, concurrency=1)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bruteforce_and_lsh_topk():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.ann import bruteforce_topk, lsh_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    # planted near-neighbor (small noise so the self-match wins the tie)
+    vecs[50] = vecs[0] * 1.1 + rng.standard_normal(16).astype(np.float32) * 0.05
+    df = pd.DataFrame({"vec_id": range(200), "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    out = bruteforce_topk(ds, {0: vecs[0]}, k=3, concurrency=1)
+    assert out.iloc[0]["vec_id"] == 0 and out.iloc[0]["rank"] == 1
+    assert out.iloc[1]["vec_id"] == 50
+    approx = lsh_topk(ds, {0: vecs[0]}, k=3, nbits=4, concurrency=1)
+    assert 0 in set(approx["vec_id"])  # query's own bucket always scanned
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_windows_and_asof():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.windows import (
+        asof_join_events_orders,
+        topk_per_shard,
+        tumbling_window_counts,
+    )
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 8, 9],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:05", "2024-01-01 10:55", "2024-01-01 11:10", "2024-01-01 11:20"]
+            ),
+            "event_type": ["a", "a", "b", "a"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    win = tumbling_window_counts(rd.from_pandas(ev))
+    w10 = win[(win["event_type"] == "a") & (win["window_start"].dt.hour == 10)]
+    assert w10["n"].iloc[0] == 2 and w10["total_value"].iloc[0] == 3.0
+
+    orders = pd.DataFrame(
+        {
+            "o_custkey": [7, 7, 8],
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01 09:00", "2024-01-01 10:30", "2024-01-02 00:00"]
+            ),
+        }
+    )
+    j = asof_join_events_orders(rd.from_pandas(ev), orders)
+    by_event = dict(zip(j["event_id"], j["o_orderdate"]))
+    assert by_event[1] == pd.Timestamp("2024-01-01 09:00")
+    assert by_event[2] == pd.Timestamp("2024-01-01 10:30")
+    assert 3 not in by_event  # order after the event
+    assert 4 not in by_event  # user with no orders
+
+    tk = topk_per_shard(rd.from_pandas(ev), num_shards=2, k=1)
+    assert set(tk["rank"]) == {1}
