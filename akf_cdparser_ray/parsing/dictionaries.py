@@ -60,6 +60,22 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _build_bigram_index(rows: list[str]) -> tuple[dict[str, list[int]], list[int]]:
+    """rank lists keyed by each entry's first two chars (entries shorter than
+    2 chars are always candidates). An entry can only be a substring of a
+    string that contains its first bigram, so scanning only entries whose
+    bigram occurs in the target preserves the exact desc-length scan order
+    while skipping the vast majority of membership checks."""
+    index: dict[str, list[int]] = {}
+    always: list[int] = []
+    for rank, entry in enumerate(rows):
+        if len(entry) >= 2:
+            index.setdefault(entry[:2], []).append(rank)
+        else:
+            always.append(rank)
+    return index, always
+
+
 def _load_rows(path: str) -> list[str]:
     with open(path, encoding="utf-8") as f:
         data = json.load(f)
@@ -85,6 +101,8 @@ class Dictionaries:
             functs = list(_FALLBACK_FUNCTS)
         self.titles = sorted(titles, key=len, reverse=True)
         self.functs = sorted(functs, key=len, reverse=True)
+        self._titles_index = _build_bigram_index(self.titles)
+        self._functs_index = _build_bigram_index(self.functs)
 
     # -- core matcher (ref dictionaryHandler.js:150-253) -------------------
     def check_dict_content_in_string(
@@ -102,13 +120,40 @@ class Dictionaries:
         data_without = data
 
         if matching == "normal":
-            for entry in rows:
-                filtered = _FH_EXC_RE.sub("", data_without, count=1)
-                if entry in filtered:
-                    maybe = data_without.replace(entry, "¦", 1).replace("()", "")
-                    if not _BAR_LETTER_RE.search(maybe):
-                        title_accu = title_accu + " " + entry
-                        data_without = maybe.replace("¦", "", 1)
+            # hot path. The reference scans every entry (desc length) against
+            # the FH-filtered current string; we scan only entries whose first
+            # bigram occurs in it, in the same rank order, recomputing the
+            # candidate set whenever a match mutates the string — observable
+            # behavior is identical (a substring must contain its own prefix).
+            index, always = (
+                self._titles_index if rows is self.titles else
+                self._functs_index if rows is self.functs else
+                _build_bigram_index(rows)
+            )
+            filtered = _FH_EXC_RE.sub("", data_without, count=1)
+            min_rank = 0
+            while True:
+                bgs = {filtered[i: i + 2] for i in range(len(filtered) - 1)}
+                cand: list[int] = list(always)
+                for bg in bgs:
+                    lst = index.get(bg)
+                    if lst:
+                        cand.extend(lst)
+                cand = sorted(r for r in set(cand) if r >= min_rank)
+                mutated = False
+                for r in cand:
+                    entry = rows[r]
+                    if entry in filtered:
+                        maybe = data_without.replace(entry, "¦", 1).replace("()", "")
+                        if not _BAR_LETTER_RE.search(maybe):
+                            title_accu = title_accu + " " + entry
+                            data_without = maybe.replace("¦", "", 1)
+                            filtered = _FH_EXC_RE.sub("", data_without, count=1)
+                            min_rank = r + 1
+                            mutated = True
+                            break
+                if not mutated:
+                    break
             if title_accu:
                 ret["isTitle"] = True
                 ret["dataWithoutTitle"] = data_without.strip()

@@ -637,26 +637,48 @@ def assign_indices_to_object(item, index, indices_array, value, additional_key=N
     return item
 
 
+def _index_map(group: dict) -> dict[int, list[str]] | None:
+    """row-index → keys map for a flat indices group (fast path; returns
+    None when the group nests sub-dicts and the recursive walk is needed)."""
+    out: dict[int, list[str]] = {}
+    for key, val in group.items():
+        if isinstance(val, dict):
+            return None
+        if isinstance(val, (int, float)) and not isinstance(val, bool) and val >= 0:
+            out.setdefault(int(val), []).append(key)
+    return out
+
+
 def parse_column_content_to_item(current_column, item_indices_groups):
     item_to_fill: dict = {}
+    maps = [(_index_map(g), g) for g in item_indices_groups]
     for x, current_item in enumerate(current_column):
         text_lc = tu.html_text_to_text(current_item).strip().lower()
         if not text_lc:
             continue
-        for group in item_indices_groups:
-            item_to_fill = assign_indices_to_object(item_to_fill, x, group, text_lc)
+        for m, group in maps:
+            if m is None:
+                item_to_fill = assign_indices_to_object(item_to_fill, x, group, text_lc)
+            else:
+                for key in m.get(x, ()):
+                    item_to_fill[key] = text_lc
     return item_to_fill
 
 
 def parse_column_content_to_item_kennzahlen(current_column, item_indices_groups):
     ret: dict = {}
+    texts = [tu.html_text_to_text(c).strip().lower() for c in current_column]
     for group in item_indices_groups:
         colitem: dict = {}
-        for x, current_item in enumerate(current_column):
-            text_lc = tu.html_text_to_text(current_item).strip().lower()
+        m = _index_map(group)
+        for x, text_lc in enumerate(texts):
             if not text_lc:
                 continue
-            colitem = assign_indices_to_object(colitem, x, group, text_lc)
+            if m is None:
+                colitem = assign_indices_to_object(colitem, x, group, text_lc)
+            else:
+                for key in m.get(x, ()):
+                    colitem[key] = text_lc
         if not tu.is_object_empty(colitem):
             ret.setdefault(group.get("kopfzeile"), []).append(colitem)
     return ret

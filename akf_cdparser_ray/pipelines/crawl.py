@@ -36,10 +36,9 @@ import ray
 import ray.data as rd
 
 from ..sources import io as aio
+from ..stages.cached import cached_fetch_batch, cached_parse_batch
 from ..stages.dedupe import ShardedSeenSet
-from ..stages.fetch import SyntheticFetcher
 from ..stages.links import canonicalize_url, extract_links_batch, host_of, url_hash64
-from ..stages.parse_stage import ParseProfiles
 from ..stages.politeness_stage import PolitenessShard, host_shard
 
 FRONTIER_COLS = ["url_canon", "url_hash", "host", "priority", "depth", "discovered_at"]
@@ -266,22 +265,22 @@ class CrawlJob:
             self.trace.append((wave, base_seq + seq, url))
 
         if not allowed.empty:
-            # fetch → parse → pairs + links: one streaming Dataset pass
+            # fetch → parse → pairs + links: one streaming Dataset pass.
+            # Task-based stages with per-process cached state fuse into one
+            # operator and persist caches across waves (actor pools would be
+            # torn down and rebuilt every wave).
             ds = rd.from_pandas(allowed[["url_canon", "depth"]])
             fetched = ds.map_batches(
-                SyntheticFetcher,
-                fn_constructor_kwargs={"corpus_size": cfg.corpus_size, "seed": cfg.seed},
+                cached_fetch_batch(cfg.corpus_size, cfg.seed),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-                concurrency=cfg.fetch_concurrency,
-                num_cpus=0.25,
+                num_cpus=1,
             )
             ok = fetched.filter(expr="fetch_status == '200'")
             parsed = ok.map_batches(
-                ParseProfiles,
+                cached_parse_batch(),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-                concurrency=cfg.parse_concurrency,
                 num_cpus=1,
             )
             pairs_table = pa.Table.from_pandas(

@@ -487,6 +487,18 @@ def render_page(profile: dict, neighbors: list[str] | None = None) -> str:
 # ---------------------------------------------------------------------------
 
 
+def page_url_for_idx(idx: int, n_hosts: int = 20, hot_share: float = 0.5) -> str:
+    """URL for corpus index ``idx`` without building the full profile
+    (cheap path for large frontiers)."""
+    year = 1999 + idx % 17
+    rng = random.Random(0xBEEF ^ idx)
+    if rng.random() < hot_share:
+        host = "host0.example"
+    else:
+        host = f"host{1 + rng.randrange(n_hosts - 1)}.example"
+    return f"http://{host}/{year}/{idx}.html"
+
+
 def page_url(profile: dict, n_hosts: int = 20, hot_share: float = 0.5) -> str:
     """Synthetic URL with a skewed host distribution (one hot host gets
     ``hot_share`` of the pages) to exercise hot-host skew splitting."""
