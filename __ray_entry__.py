@@ -294,6 +294,90 @@ def q_host_counts(sf_dir: str):
     return df[["host", "n"]]
 
 
+def q_parse_profiles(_sf_dir: str):
+    """Flagship parse over deterministic synthetic pages (rows-only check;
+    correctness is gated by the golden-fixture pytest suite)."""
+    import json
+
+    import pandas as pd
+
+    from akf_cdparser_ray.pipelines import flagship
+
+    rows = flagship.pairs_pipeline(n_pages=40, batch_size=8, concurrency=2).take_all()
+    out = []
+    for r in rows:
+        cap = json.loads(r["caption"]) if r["caption"] else {}
+        sitz = (cap.get("Sitz") or [{}])[0]
+        out.append(
+            {
+                "image_id": r["image_id"],
+                "status": r["status"],
+                "name": cap.get("name"),
+                "city": sitz.get("city"),
+                "established_year": cap.get("established_year"),
+            }
+        )
+    return pd.DataFrame(out).sort_values("image_id").reset_index(drop=True)
+
+
+def q_crawl_smoke(_sf_dir: str):
+    """One-wave crawl on a tiny synthetic frontier: dequeue → politeness →
+    fetch → parse → dedupe → counters (rows-only check)."""
+    import tempfile
+
+    import pandas as pd
+
+    from akf_cdparser_ray.pipelines.crawl import CrawlConfig, CrawlJob
+    from akf_cdparser_ray.sources import synth
+
+    seeds = [synth.page_url(synth.gen_profile(i)) for i in (0, 1, 2)]
+    cfg = CrawlConfig(
+        seeds=seeds, corpus_size=40, out_dir=tempfile.mkdtemp(prefix="crawlq_"),
+        num_shards=4, num_politeness_shards=2, dequeue_k=6, max_waves=2,
+        parse_concurrency=1, fetch_concurrency=1,
+    )
+    job = CrawlJob(cfg)
+    summary = job.run()
+    job.shutdown()
+    return pd.DataFrame(summary["counters"])
+
+
+def q_phash_neardup(_sf_dir: str):
+    """Image near-dup via banded 64-bit phash over a synthetic pairs table
+    with planted duplicates (rows-only check)."""
+    import numpy as np
+    import pandas as pd
+
+    from akf_cdparser_ray.sources import images as im
+    from akf_cdparser_ray.sources import synth
+    from akf_cdparser_ray.stages.dedup_images import phash_neardup_pairs
+
+    rows = []
+    for i in range(24):
+        _data, pix = synth.make_image(synth.gen_profile(i))
+        rows.append((f"img{i:03d}", im.phash64(pix)))
+        if i % 6 == 0:  # plant a near-duplicate
+            noisy = pix.copy()
+            noisy[::19, ::19] ^= 1
+            rows.append((f"img{i:03d}_dup", im.phash64(noisy)))
+    df = pd.DataFrame(rows, columns=["image_id", "phash"])
+    return phash_neardup_pairs(df, max_hamming=6)
+
+
+def q_lse_report(sf_dir: str):
+    """Line-segment separator analysis over document lines (rows-only)."""
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.lse import separator_report
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def to_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"line": batch["text"]})
+
+    return separator_report(ds.map_batches(to_lines, batch_format="pandas"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -312,6 +396,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_shard": q_topk_per_shard,
         "anti_join": q_anti_join,
         "host_counts": q_host_counts,
+        "parse_profiles": q_parse_profiles,
+        "crawl_smoke": q_crawl_smoke,
+        "phash_neardup": q_phash_neardup,
+        "lse_report": q_lse_report,
     }
 
 

@@ -1,0 +1,91 @@
+"""Tests for the LSE aggregation, audit sink, and SQL sink stages."""
+
+import pandas as pd
+import pytest
+
+from akf_cdparser_ray.stages import lse
+
+
+def test_classify_line_basic():
+    toks = lse.classify_line("Dr. Hans Maier (Vors.), Stuttgart, 12,5%")
+    types = [t for t, _k, _s in toks]
+    assert "inBrackets" in types
+    assert "number" in types
+    assert "word" in types
+    keys = [k for _t, k, _s in toks]
+    assert "INBRACKETS" in keys
+    assert "NUMBERCOMMA" in keys
+
+
+def test_classify_line_sectors():
+    toks = lse.classify_line("a b c d e")
+    sectors = [s for _t, _k, s in toks]
+    assert sectors[0] == 0
+    assert all(0 <= s < lse.SEGMENT_NUM for s in sectors)
+    assert sectors == sorted(sectors)
+
+
+def test_classify_zumstein():
+    toks = lse.classify_line("a,b;c:(d)", zumstein=True)
+    assert len(toks) == 1
+    typ, key, sector = toks[0]
+    assert typ == "zumsteinVector" and sector == 0
+    assert "," in key and ";" in key
+
+
+def test_group_neighborhoods():
+    df = pd.DataFrame(
+        {
+            "sector": [0, 1, 2, 5],
+            "key": [";"] * 4,
+            "type": ["specialcharacter"] * 4,
+            "ctr": [2, 10, 3, 1],
+        }
+    )
+    out = lse.group_neighborhoods(df)
+    top = out.iloc[0]
+    assert top["center_sector"] == 1
+    assert top["group_ctr"] == 15  # 2+10+3 merged around the maximum
+    assert top["group_size"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_analyze_lines_distributed():
+    import ray.data as rd
+
+    lines = pd.DataFrame(
+        {
+            "line": [
+                "Dr. Hans Maier (Vors.), Stuttgart; WP Klaus Langer, Ulm",
+                "Erika Muster (stellv. Vors.), Bonn; Hans Frei, Mainz",
+            ]
+        }
+    )
+    report = lse.separator_report(rd.from_pandas(lines))
+    assert not report.empty
+    # the dominant separator pattern must surface
+    assert set(report.columns) == {"key", "type", "center_sector", "group_ctr", "group_size"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audit_and_sql_sinks(tmp_path):
+    import ray.data as rd
+
+    from akf_cdparser_ray.pipelines import flagship
+    from akf_cdparser_ray.stages.audit import json2sql_batch, write_audit
+
+    pairs = flagship.pairs_pipeline(n_pages=6, concurrency=1)
+    out = str(tmp_path / "audit")
+    write_audit(pairs, out)
+    back = rd.read_parquet(out)
+    rows = back.take_all()
+    assert len(rows) > 6  # several sections per document
+    stages = {r["stage"] for r in rows}
+    assert "aufsichtsrat" in stages and "Sitz" in stages
+
+    sql_rows = (
+        flagship.pairs_pipeline(n_pages=4, concurrency=1)
+        .map_batches(json2sql_batch, batch_format="pyarrow")
+        .take_all()
+    )
+    assert sql_rows and sql_rows[0]["sql"].startswith('INSERT INTO "Aufsichtsrat"')
