@@ -330,7 +330,7 @@ def parse_beding_kapital(tables_parsed, tables_arr, rest, infos, index, next_ind
                     for cur in ft[0]:
                         t = tu.html_text_to_text(cur).strip()
                         if t:
-                            beding["eintraege"].append({"bemerkung": t})
+                            beding["eintraege"].append({"betrag_einzel": None, "bemerkung": t})
         else:
             beding["betrag"] = tu.html_text_to_text(table[1][0]).strip()
             if table[0] and len(table[0]) > 1:
@@ -341,7 +341,7 @@ def parse_beding_kapital(tables_parsed, tables_arr, rest, infos, index, next_ind
                     for cur in tcontent.split("<br>"):
                         t = tu.html_text_to_text(cur).strip()
                         if t:
-                            beding["eintraege"].append({"bemerkung": t.strip()})
+                            beding["eintraege"].append({"betrag_einzel": None, "bemerkung": t.strip()})
         if index < len(infos):
             nxt = infos[index + 1] if index + 1 < len(infos) else None
             restlines = get_rest_lines(infos[index], rest, "<br>", nxt)
@@ -349,7 +349,7 @@ def parse_beding_kapital(tables_parsed, tables_arr, rest, infos, index, next_ind
                 for cur in restlines:
                     t = tu.html_text_to_text(cur.strip())
                     if t:
-                        beding["eintraege"].append({"bemerkung": t.strip()})
+                        beding["eintraege"].append({"betrag_einzel": None, "bemerkung": t.strip()})
     else:
         # headerless mode (ref parser_tables.js:453-475)
         for current_item in table[0]:

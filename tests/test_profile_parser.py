@@ -107,7 +107,8 @@ def test_genehm_beding_kapital(profile):
     assert profile["genehmigtesKapital"]["genehmKapital"]["betrag"] == "EUR 3 000 000,00"
     bk = profile["bedingtesKapital"]["bedingkapital"]
     assert bk["betrag"] == "EUR 400 000,00"
-    assert {"bemerkung": "Aktienoptionsplan"} in bk["eintraege"]
+    # the reference keeps the JS-null betrag_einzel key (bkItem ctor)
+    assert {"betrag_einzel": None, "bemerkung": "Aktienoptionsplan"} in bk["eintraege"]
 
 
 def test_boersenbewertung(profile):

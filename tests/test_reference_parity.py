@@ -1,0 +1,91 @@
+"""Byte-level parity against the REAL reference parser.
+
+Runs `/root/reference/lib/parser.js` through tools/refrun (Node with
+from-scratch dependency stand-ins) and asserts the engine's parse output is
+identical — the strongest form of the caption-equality invariant
+(BASELINE.json per-row invariant)."""
+
+import json
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from akf_cdparser_ray.parsing.profile_parser import parse_profile
+from akf_cdparser_ray.sources import synth
+
+REF_LIB = "/root/reference/lib/parser.js"
+RUNNER = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools/refrun")
+FIXTURE = "/root/reference/test/fixtures/html/2005/0003.html.utf8.html"
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("node") is None or not os.path.exists(REF_LIB),
+    reason="node or reference not available",
+)
+
+
+@pytest.fixture(scope="module")
+def refrun_cwd(tmp_path_factory):
+    cwd = tmp_path_factory.mktemp("refrun")
+    (cwd / "checkfiles").mkdir()
+    os.symlink("/root/reference/dictfiles", cwd / "dictfiles")
+    return str(cwd)
+
+
+def run_reference(html: str, cwd: str) -> dict:
+    page = os.path.join(cwd, "page.html")
+    with open(page, "w", encoding="utf-8") as f:
+        f.write(html)
+    out = subprocess.run(
+        ["node", os.path.join(RUNNER, "run_parser.js"), page],
+        cwd=cwd,
+        env=dict(os.environ, NODE_PATH=os.path.join(RUNNER, "node_modules")),
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    return json.loads(out.stdout)
+
+
+def deep_diff(a, b, path="$", out=None, maxn=10):
+    if out is None:
+        out = []
+    if len(out) >= maxn:
+        return out
+    if isinstance(a, dict) and isinstance(b, dict):
+        for k in sorted(set(a) | set(b)):
+            if k == "_fulltext":
+                continue
+            if k not in a:
+                out.append(f"{path}.{k} only in engine")
+            elif k not in b:
+                out.append(f"{path}.{k} only in reference")
+            else:
+                deep_diff(a[k], b[k], f"{path}.{k}", out, maxn)
+    elif isinstance(a, list) and isinstance(b, list):
+        if len(a) != len(b):
+            out.append(f"{path} length {len(a)} != {len(b)}")
+        for i, (x, y) in enumerate(zip(a, b)):
+            deep_diff(x, y, f"{path}[{i}]", out, maxn)
+    elif a != b:
+        out.append(f"{path}: {a!r} != {b!r}")
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture missing")
+def test_parity_golden_fixture(refrun_cwd):
+    with open(FIXTURE, encoding="utf-8") as f:
+        html = f.read()
+    ref = run_reference(html, refrun_cwd)
+    mine = parse_profile(html)
+    assert deep_diff(ref, mine) == []
+
+
+@pytest.mark.parametrize("idx", list(range(0, 24, 3)))
+def test_parity_synthetic_pages(refrun_cwd, idx):
+    html = synth.render_page(synth.gen_profile(idx))
+    ref = run_reference(html, refrun_cwd)
+    mine = parse_profile(html)
+    assert deep_diff(ref, mine) == [], idx
