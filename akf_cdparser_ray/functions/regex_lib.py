@@ -106,13 +106,13 @@ def match_from_string_to_string(
     if m_from is None:
         return None
     data_used = data[m_from.start():]
-    # the 'to' search runs on the remainder AFTER the from-token in the
-    # reference (search starts at indexFrom) — but the reference searches the
-    # whole remainder including the from-token itself; mirror that.
-    m_to = re.search(to, data_used[len(m_from.group(0)):])
+    # the reference searches the 'to' delimiter over the WHOLE remainder,
+    # including the from-token itself (ref regexLib.js:184-193) — a greedy
+    # from-pattern like "Tel\\..*:" is then re-matched (shorter) against the
+    # truncated span by the final replace; mirror exactly.
+    m_to = re.search(to, data_used)
     if m_to is not None:
-        cut = len(m_from.group(0)) + m_to.start()
-        data_used = data_used[:cut]
+        data_used = data_used[: m_to.start()]
     with_from = data_used
     without = re.sub(frm, "", data_used, count=1).strip()
     return [with_from, without]

@@ -183,6 +183,51 @@ def gen_profile(idx: int, seed: int = SEED) -> dict:
             for ident in ("AG", "Konzern")
             for y in by
         }
+    # extended section variants (separate rng keeps earlier draws stable)
+    rng2 = random.Random((seed << 21) ^ (idx * 7919))
+    profile["variants"] = {
+        "postfach": idx % 7 == 1,
+        "grosskunden_plz": idx % 15 == 9,
+        "geschleitung": idx % 11 == 4,
+        "leitung_kommunikation": idx % 13 == 5,
+        "public_relations": idx % 9 == 2,
+        "anteilseigner": idx % 8 == 3,
+        "unternehmensvertraege": idx % 10 == 7,
+        "ergebnisabfuehrung": idx % 12 == 8,
+        "genuss_kapital": idx % 14 == 6,
+        "bezugsrechte": idx % 16 == 10,
+        "ausgegebenes_kapital": idx % 18 == 12,
+        "organbezuege_multiyear": idx % 5 == 2 and idx % 17 != 3,
+    }
+    profile["postfach"] = (f"{rng2.randint(1000, 99999)}", f"{rng2.randint(10000, 99999)}")
+    profile["anteilseigner_rows"] = [
+        (f"{rng2.choice(_LAST)} Beteiligungs GmbH", rng2.choice(_CITIES),
+         f"{rng2.randint(5, 60)},{rng2.randint(0, 99):02d}%")
+        for _ in range(rng2.randint(1, 3))
+    ]
+    profile["vertraege"] = [
+        f"Beherrschungsvertrag mit der {rng2.choice(_COMPANY_A)}{rng2.choice(_COMPANY_B)} AG "
+        f"vom {rng2.randint(1, 28)}.{rng2.randint(1, 12)}.{year - 1}",
+        f"Gewinnabführungsvertrag seit {year - rng2.randint(1, 9)}",
+    ]
+    profile["eaf_rows"] = [
+        (str(year - 3 + k), f"TEUR {rng2.randint(100, 9999)}") for k in range(3)
+    ]
+    profile["genuss_betrag"] = f"EUR {_num(rng2, 100_000, 900_000)}"
+    profile["bezugsrechte_rows"] = [
+        (str(year - rng2.randint(1, 5)), "Belegschaftsaktien zum Vorzugskurs"),
+    ]
+    profile["ausgegeben_rows"] = [
+        (f"Stückelung: {rng2.randint(1, 9)} 000 000 Stückaktien Stimmrecht: je Aktie 1 Stimme",
+         f"EUR {_num(rng2, 500_000, 3_000_000)}"),
+    ]
+    profile["pr_person"] = _person(rng2)
+    profile["lk_person"] = _person(rng2)
+    profile["lk_phone"] = f"(0{rng2.randint(30, 999)}) {rng2.randint(100, 999)}-11"
+    profile["ob_multi"] = [
+        ("Vorstand", f"{year - 3}", f"TDM {rng2.randint(100, 900)}"),
+        ("Aufsichtsrat", f"{year - 3}", f"TDM {rng2.randint(10, 90)}"),
+    ]
     profile["img_seed"] = (seed << 16) ^ (idx * 2654435761) & 0xFFFFFFFF
     profile["img_w"] = 48 + (idx * 7) % 81
     profile["img_h"] = 48 + (idx * 11) % 81
@@ -228,8 +273,13 @@ def render_page(profile: dict, neighbors: list[str] | None = None) -> str:
     out.append(f"({p['aktientyp']})</center><br>")
     out.append(f"<center><b><b>Nennwert: </b>{p['nennwert']}")
     out.append("</center><br>")
+    v = p.get("variants", {})
     out.append(_center_header("Sitz").rstrip())
+    if v.get("grosskunden_plz"):
+        out.append(f"Großkunden-PLZ {p['postfach'][1]} {p['city']}<br>")
     out.append(f"{p['street']} {p['street_no']}, {p['zip']} {p['city']}<br>")
+    if v.get("postfach"):
+        out.append(f"Postfach {p['postfach'][0]}, {p['zip']} {p['city']}<br>")
     out.append("Telefon:")
     out.append(f"{p['phone']}<br>")
     out.append("Telefax:")
@@ -254,8 +304,18 @@ def render_page(profile: dict, neighbors: list[str] | None = None) -> str:
         out.append("*) Arbeitnehmervertreter<br>")
     else:
         out.append(ar_line + "<br>")
-    out.append("<b>Vorstand:</b><br>")
+    if v.get("geschleitung"):
+        out.append("<b>Geschäftsleitung:</b><br>")
+    else:
+        out.append("<b>Vorstand:</b><br>")
     out.append("; ".join(_person_line(q) for q in p["vorstand"]) + "<br>")
+    if v.get("leitung_kommunikation"):
+        out.append(_center_header("Leitung Kommunikation").rstrip())
+        lk = p["lk_person"]
+        out.append(
+            f"{lk['first']} {lk['last']}, {lk['city']} "
+            f"Telefon: {p['lk_phone']}; Fax: {p['fax']}<br>"
+        )
     out.append("")
     # real pages use NBSP after the colon (the reference's matcher variants
     # are ':</b>', ' :</b>', ':\xa0</b>' and the mojibake form — never ': ')
@@ -265,9 +325,18 @@ def render_page(profile: dict, neighbors: list[str] | None = None) -> str:
     )
     if p["organbezuege_keine"]:
         out.append(f"{ob_header}{p['organbezuege_year']}: keine Vergütung<br>")
+    elif v.get("organbezuege_multiyear"):
+        body = "; ".join(f"{organ} {jahr}: {val}" for organ, jahr, val in p["ob_multi"])
+        out.append(f"{ob_header}{body}<br>")
     else:
-        body = "; ".join(f"{organ} {v}" for organ, v in p["organbezuege"])
+        body = "; ".join(f"{organ} {val}" for organ, val in p["organbezuege"])
         out.append(f"{ob_header}{p['organbezuege_year']}: {body}<br>")
+    if v.get("public_relations"):
+        out.append(_center_header("Public Relations").rstrip())
+        pr = p["pr_person"]
+        out.append(
+            f"{pr['first']} {pr['last']}, Tel.: {p['lk_phone']}, Fax: {p['fax']}<br>"
+        )
     out.append(_center_header("Investor Relations").rstrip())
     ir = p["investor_relations"]
     out.append(f"{ir['first']} {ir['last']}<br>")
@@ -277,6 +346,17 @@ def render_page(profile: dict, neighbors: list[str] | None = None) -> str:
         ak_lines.append(f"{name}, {ort}, {anteil}<br>")
     ak_lines.append(f"Streubesitz, {p['streubesitz']}<br>")
     out.append("".join(ak_lines))
+    if v.get("anteilseigner"):
+        rows = "".join(
+            f"{name}, {ort}, {anteil}<br>" for name, ort, anteil in p["anteilseigner_rows"]
+        )
+        out.append(f"<b>Anteilseigner:</b><br>{rows}")
+    if v.get("unternehmensvertraege"):
+        out.append(
+            "<b>Unternehmensverträge</b><br>"
+            + "<br>".join(p["vertraege"])
+            + "<br>"
+        )
     out.append(_center_header("Mehrheitsbeteiligungen").rstrip())
     if p["wesentliche_tabelle"]:
         out.append("<b>Wesentliche Beteiligungen</b><br>")
@@ -336,6 +416,48 @@ def render_page(profile: dict, neighbors: list[str] | None = None) -> str:
         f'{p["hauptversammlung"]} <br>Aktienoptionsplan</td></tr>'
     )
     out.append("</table>")
+    if v.get("genuss_kapital"):
+        out.append('<table width="100%" cellpadding="0" cellspacing="0" border="0">')
+        out.append("<tr>")
+        out.append(
+            '<td width="50%" align="LEFT" valign="TOP"><b>Genehmigtes Genußkapital</b></td>'
+        )
+        out.append(
+            f'<td width="50%" align="RIGHT" valign="TOP"><b>{p["genuss_betrag"]}</b></td>'
+        )
+        out.append("</tr>")
+        out.append(
+            '<tr>\n<td align="LEFT" valign="TOP" colspan="2">Gem. HV vom '
+            f'{p["hauptversammlung"]}</td></tr>'
+        )
+        out.append("</table>")
+    if v.get("bezugsrechte"):
+        out.append('<table width="100%" cellpadding="0" cellspacing="0" border="0">')
+        out.append("<tr>")
+        out.append(
+            '<td width="50%" align="LEFT" valign="TOP"><b>Besondere Bezugsrechte</b></td>'
+        )
+        out.append('<td width="50%" align="RIGHT" valign="TOP"><b></b></td>')
+        out.append("</tr>")
+        for jahr, bem in p["bezugsrechte_rows"]:
+            out.append(f'<tr>\n<td align="LEFT" valign="TOP">{jahr}</td>')
+            out.append(f'<td align="RIGHT" valign="TOP">{bem}</td></tr>')
+        out.append("</table>")
+    if v.get("ausgegebenes_kapital"):
+        out.append('<table width="100%" cellpadding="0" cellspacing="0" border="0">')
+        out.append("<tr>")
+        out.append(
+            '<td width="50%" align="LEFT" valign="TOP"><b>Ausgegebenes Kapital</b></td>'
+        )
+        out.append(
+            f'<td width="50%" align="RIGHT" valign="TOP"><b>{p["ausgegeben_rows"][0][1]}</b></td>'
+        )
+        out.append("</tr>")
+        out.append(
+            f'<tr>\n<td align="LEFT" valign="TOP">{p["ausgegeben_rows"][0][0]}</td>'
+            '<td align="RIGHT" valign="TOP"></td></tr>'
+        )
+        out.append("</table>")
     out.append(_center_header("Börsenbewertung").rstrip())
     out.append(f'<img src="{p["img_name"]}"><br><br>')
     out.append(f"ISIN: {p['isin']}, {p['aktientyp']}<br>")
@@ -386,6 +508,14 @@ def render_page(profile: dict, neighbors: list[str] | None = None) -> str:
             out.append(f'<td align="RIGHT">{p["dividenden"][y][di]}</td>')
         out.append("</tr>")
     out.append("</table>")
+    if v.get("ergebnisabfuehrung"):
+        out.append("<b>Ergebnisabführung</b><br>")
+        out.append('<table cellpadding="0" cellspacing="0" border="0" width="100%">')
+        for jahr, betrag in p["eaf_rows"]:
+            out.append("<tr>")
+            out.append(f'<td align="LEFT" valign="TOP">{jahr}</td>')
+            out.append(f'<td align="RIGHT" valign="TOP">{betrag}</td></tr>')
+        out.append("</table>")
     out.append("<!-- KENNZAHLEN ANFANG -->")
     out.append("<center><b>Kennzahlen</b></center><br>")
     out.append('<table width="100%">')
