@@ -25,16 +25,25 @@ class ParseProfiles:
     batch_size=64, concurrency=(min,max), num_cpus=1)``.
     """
 
-    def __init__(self, dictfiles_dir: str | None = None, with_residue: bool = False):
+    def __init__(
+        self,
+        dictfiles_dir: str | None = None,
+        with_residue: bool = False,
+        with_counts: bool = False,
+    ):
         self.parser = ProfileParser(Dictionaries(dictfiles_dir))
         self.with_residue = with_residue
+        self.with_counts = with_counts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import json as _json
+
         htmls = batch.column("html").to_pylist()
         captions: list[str | None] = []
         statuses: list[str] = []
         errors: list[str] = []
         residues: list[float] = []
+        counts: list[str] = []
         for html in htmls:
             try:
                 parsed = self.parser.parse(html)
@@ -43,12 +52,17 @@ class ParseProfiles:
                 errors.append("")
                 if self.with_residue:
                     residues.append(validator.coverage_ratio(parsed))
+                if self.with_counts:
+                    # per-document section call counts (ref lib/callCounter.js)
+                    counts.append(_json.dumps(self.parser._counts, sort_keys=True))
             except Exception as exc:  # mirror failed[]-and-continue semantics
                 captions.append(None)
                 statuses.append("error")
                 errors.append(repr(exc)[:500])
                 if self.with_residue:
                     residues.append(0.0)
+                if self.with_counts:
+                    counts.append("{}")
         cols = {
             "image_id": batch.column("image_id"),
             "bytes": batch.column("bytes"),
@@ -62,7 +76,35 @@ class ParseProfiles:
         }
         if self.with_residue:
             cols["coverage"] = pa.array(residues, pa.float64())
+        if self.with_counts:
+            cols["section_counts"] = pa.array(counts, pa.string())
         return pa.table(cols)
+
+
+def call_count_rollup(parsed_ds):
+    """A1: per-section call-count totals across the corpus
+    (ref lib/callCounter.js:26-46 printCallcount; here a real aggregation)."""
+    import json as _json
+
+    import pandas as pd
+
+    from .relational import partial_groupby_sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sections, ns = [], []
+        for blob in batch.column("section_counts").to_pylist():
+            for section, n in _json.loads(blob or "{}").items():
+                sections.append(section)
+                ns.append(n)
+        return pa.table(
+            {"section": pa.array(sections, pa.string()), "n": pa.array(ns, pa.int64())}
+        )
+
+    out = partial_groupby_sum(
+        parsed_ds.map_batches(explode, batch_format="pyarrow"), ["section"], ["n"]
+    )
+    df = out.to_pandas()
+    return df.sort_values("section").reset_index(drop=True)
 
 
 class ValidateProfiles:

@@ -1,0 +1,112 @@
+"""Tests: directory source/mirrored sink (S1/S3), call-count rollup (A1),
+validation stage, residue stage, image ops, ldist dictionary mode."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from akf_cdparser_ray.parsing.dictionaries import Dictionaries
+from akf_cdparser_ray.sources import synth
+
+
+def test_ldist_dictionary_mode():
+    d = Dictionaries()
+    # slight misspelling of a known title should still match in ldist mode
+    info = d.check_dict_content_in_string("Dipl.-Kfn. Hans Maier", d.titles, "ldist")
+    assert info["isTitle"]
+    assert info["titleFound"].startswith("Dipl.")
+    assert "Hans" in info["dataWithoutTitle"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dir_source_and_mirrored_sink(tmp_path):
+    from akf_cdparser_ray.sources.dirsource import parse_html_tree, write_mirrored_json
+
+    root = tmp_path / "cd"
+    for i in range(6):
+        p = synth.gen_profile(i)
+        sub = root / str(p["year"])
+        sub.mkdir(parents=True, exist_ok=True)
+        (sub / f"{i:04d}.html").write_text(synth.render_page(p), encoding="utf-8")
+    (root / "1999" / "ignore.txt").write_text("not html")
+
+    parsed = parse_html_tree(str(root), batch_size=4)
+    out_root = tmp_path / "json"
+    written = write_mirrored_json(parsed, str(out_root))
+    assert written == 6
+    p0 = synth.gen_profile(0)
+    target = out_root / str(p0["year"]) / "0000.json"
+    assert target.exists()
+    data = json.loads(target.read_text(encoding="utf-8"))
+    assert data["name"] == p0["name"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_call_count_rollup_and_residue():
+    import ray.data as rd
+
+    from akf_cdparser_ray.pipelines.flagship import pages_dataset
+    from akf_cdparser_ray.stages.parse_stage import ParseProfiles, call_count_rollup
+
+    ds = pages_dataset(8).map_batches(
+        ParseProfiles,
+        fn_constructor_kwargs={"with_counts": True, "with_residue": True},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=1,
+    )
+    rows = ds.take_all()
+    assert all(0.4 < r["coverage"] <= 1.0 for r in rows)
+    rollup = call_count_rollup(rd.from_items(rows))
+    by_section = dict(zip(rollup["section"], rollup["n"]))
+    assert by_section["name"] == 8
+    assert by_section["sitz"] == 8
+    assert by_section.get("boersenbewertung", 0) >= 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate_profiles_stage():
+    from akf_cdparser_ray.pipelines import flagship
+    from akf_cdparser_ray.stages.parse_stage import ValidateProfiles
+
+    pairs = flagship.pairs_pipeline(n_pages=5, concurrency=1)
+    rows = pairs.map_batches(ValidateProfiles(), batch_format="pyarrow").take_all()
+    # pages with a '*) Arbeitnehmervertreter' common funct legitimately fail
+    # the schema's funct enum (schema.yml:20 allows only Vors./stellv. Vors.),
+    # exactly as the reference's ajv validator would
+    for r in rows:
+        assert r["valid"] or "not in enum" in r["validation_errors"], r["validation_errors"]
+    assert any(r["valid"] for r in rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_ops(tmp_path):
+    import ray.data as rd
+
+    from akf_cdparser_ray.sources.images import decode_png
+    from akf_cdparser_ray.stages.image_ops import ColorHistogram, DecodeResize, ModelEmbed
+
+    pages = synth.build_pages_table(6)
+    ds = rd.from_arrow(pages)
+    thumbs = ds.map_batches(
+        DecodeResize, fn_constructor_kwargs={"out_w": 16, "out_h": 16},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    assert all(t["ok"] for t in thumbs)
+    img = decode_png(thumbs[0]["thumb"])
+    assert img.shape == (16, 16, 3)
+
+    feats = ds.map_batches(ColorHistogram, batch_format="pyarrow", concurrency=1).take_all()
+    assert len(feats[0]["features"]) == 48
+    assert abs(sum(feats[0]["features"]) - 1.0) < 1e-3
+
+    with pytest.raises(NotImplementedError):
+        ModelEmbed()
+    emb = ds.map_batches(
+        ModelEmbed, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    assert len(emb[0]["embedding"]) == 64
+    assert set(np.unique(emb[0]["embedding"])) <= {-1.0, 1.0}
