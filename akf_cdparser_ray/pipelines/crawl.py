@@ -175,14 +175,22 @@ class CrawlJob:
         )
         return len(new)
 
+    # frontiers above this size dequeue through the distributed path
+    DATASET_DEQUEUE_THRESHOLD = 50_000
+
     def _dequeue(self, k: int) -> pd.DataFrame:
         """Per-shard priority top-k with deterministic tie-breaks.
 
-        (10^10-scale equivalent: ``ds.groupby('shard').map_groups(topk)`` —
-        never a global sort.)
-        """
+        Small frontiers use pandas driver-side; large ones the equivalent
+        ``ds.groupby(shard).map_groups(topk)`` — never a global sort. Both
+        paths produce identical results (tested)."""
         if self.frontier.empty:
             return self.frontier
+        if len(self.frontier) > self.DATASET_DEQUEUE_THRESHOLD:
+            return self._dequeue_dataset(k)
+        return self._dequeue_pandas(k)
+
+    def _dequeue_pandas(self, k: int) -> pd.DataFrame:
         f = self.frontier.copy()
         f["shard"] = (f["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(self.cfg.num_shards)).astype("int64")
         f = f.sort_values(["shard", "priority", "url_canon"], ascending=[True, False, True])
@@ -191,6 +199,38 @@ class CrawlJob:
             f.drop(dequeued.index).drop(columns=["shard"]).reset_index(drop=True)
         )
         return dequeued.drop(columns=["shard"]).reset_index(drop=True)
+
+    def _dequeue_dataset(self, k: int) -> pd.DataFrame:
+        """Distributed per-shard top-k dequeue (the 10^10-URL path)."""
+        num_shards = self.cfg.num_shards
+        f = self.frontier.copy()
+        f["shard"] = (
+            f["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(num_shards)
+        ).astype("int64")
+        ds = rd.from_pandas(f)
+
+        def topk(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(["priority", "url_canon"], ascending=[False, True])
+            g = g.copy()
+            g["dequeued"] = [i < k for i in range(len(g))]
+            return g
+
+        marked = (
+            ds.groupby("shard").map_groups(topk, batch_format="pandas").to_pandas()
+        )
+        marked["url_hash"] = marked["url_hash"].astype(np.uint64)
+        dequeued = marked[marked["dequeued"]]
+        remaining = marked[~marked["dequeued"]]
+        self.frontier = (
+            remaining.drop(columns=["shard", "dequeued"]).reset_index(drop=True)
+        )
+        # deterministic order for the trace regardless of group arrival order
+        return (
+            dequeued.drop(columns=["dequeued"])
+            .sort_values(["shard", "priority", "url_canon"], ascending=[True, False, True])
+            .drop(columns=["shard"])
+            .reset_index(drop=True)
+        )
 
     def _gate(self, cand: pd.DataFrame, wave: int) -> pd.DataFrame:
         """Politeness + robots via the host-hash-pinned shard actors."""
