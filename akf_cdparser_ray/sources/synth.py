@@ -198,6 +198,18 @@ def gen_profile(idx: int, seed: int = SEED) -> dict:
         "bezugsrechte": idx % 16 == 10,
         "ausgegebenes_kapital": idx % 18 == 12,
         "organbezuege_multiyear": idx % 5 == 2 and idx % 17 != 3,
+        "second_listing": idx % 21 == 13,
+    }
+    profile["wkn2"] = str(600000 + (idx * 41) % 300000)
+    profile["isin2"] = f"DE000{profile['wkn2']}{(int(profile['wkn2']) * 3) % 10}"
+    profile["aktientyp2"] = "Vorzugsaktien"
+    profile["kurse2"] = {
+        y: (
+            f"{rng2.uniform(10, 60):.2f}".replace(".", ","),
+            f"{rng2.uniform(2, 9):.2f}".replace(".", ","),
+            f"{rng2.uniform(5, 30):.2f}".replace(".", ","),
+        )
+        for y in profile["kurs_years"][-3:]
     }
     profile["postfach"] = (f"{rng2.randint(1000, 99999)}", f"{rng2.randint(10000, 99999)}")
     profile["anteilseigner_rows"] = [
@@ -508,6 +520,43 @@ def render_page(profile: dict, neighbors: list[str] | None = None) -> str:
             out.append(f'<td align="RIGHT">{p["dividenden"][y][di]}</td>')
         out.append("</tr>")
     out.append("</table>")
+    if v.get("second_listing"):
+        # a second listed share class: exercises the boersenbewertung{N}
+        # per-document occurrence counter (N=2) and merge semantics
+        out.append(f'<img src="{80000 + p["idx"]}.bmp"><br><br>')
+        out.append(f"ISIN: {p['isin2']}, {p['aktientyp2']}<br>")
+        out.append(f"Wertpapier-Kenn-Nr.: {p['wkn2']}, {p['aktientyp2']}<br>")
+        out.append("<b>Notiert:</b>")
+        out.append("Freiverkehr Stuttgart")
+        out.append("<br>")
+        out.append("<b>Bereinigte Kurse</b> (Stuttgart in EUR)<br>")
+        out.append('<table cellspacing="0" cellpadding="0" width="100%" border="0">')
+        years2 = sorted(p["kurse2"])
+        out.append("<tr>")
+        out.append("<td></td>")
+        for y in years2:
+            out.append(f'<td align="RIGHT" valign="TOP" width="15%"><b>{y}</b></td>')
+        out.append("</tr>")
+        for label, ki in (("Höchst", 0), ("Tiefst", 1), ("Ultimo", 2)):
+            out.append("<tr>")
+            out.append(f'<td align="LEFT" valign="TOP">{label}</td>')
+            for y in years2:
+                out.append(f'<td align="RIGHT" valign="TOP">{p["kurse2"][y][ki]}</td>')
+            out.append("</tr>")
+        out.append("</table>")
+        out.append("<b>Dividenden/Ausschüttung</b><br>")
+        out.append('<table cellpadding="0" cellspacing="0" border="0" width="100%">')
+        out.append("<tr>")
+        out.append("<td></td>")
+        for y in years2:
+            out.append(f'<td align="RIGHT" width="15%"><b>{y}</b></td>')
+        out.append("</tr>")
+        out.append("<tr>")
+        out.append("<td>Dividende</td>")
+        for _y in years2:
+            out.append('<td align="RIGHT">EUR 0</td>')
+        out.append("</tr>")
+        out.append("</table>")
     if v.get("ergebnisabfuehrung"):
         out.append("<b>Ergebnisabführung</b><br>")
         out.append('<table cellpadding="0" cellspacing="0" border="0" width="100%">')
