@@ -101,6 +101,13 @@ class ProfileParser:
         self._compiled = [
             (re.compile(pat), fn, disabled) for pat, fn, disabled in self._parse_functions
         ]
+        # dispatch prefilter: every enabled matcher requires one of these
+        # substrings in a matching line, so lines without any of them can
+        # skip the 30-pattern scan (pure optimization, no behavior change)
+        self._prefilter = re.compile(
+            "b>|ISIN|Wertpapier|Kennzahlen|AKF_PARSER_START"
+            "|Tätigkeitsgebiet|Ergebnisabführung"
+        )
 
     # ------------------------------------------------------------------
     def parse(self, lines_str: str) -> dict:
@@ -128,6 +135,9 @@ class ProfileParser:
             if guard > max_iter:
                 break
             line_trim = lines[i].strip()
+            if not self._prefilter.search(line_trim):
+                i += 1
+                continue
             for pattern, fn, disabled in self._compiled:
                 if disabled or fn is None:
                     if not disabled:

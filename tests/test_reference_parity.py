@@ -83,7 +83,7 @@ def test_parity_golden_fixture(refrun_cwd):
     assert deep_diff(ref, mine) == []
 
 
-@pytest.mark.parametrize("idx", list(range(0, 48, 2)))
+@pytest.mark.parametrize("idx", list(range(0, 24)) + [29, 34, 38, 47])
 def test_parity_synthetic_pages(refrun_cwd, idx):
     html = synth.render_page(synth.gen_profile(idx))
     ref = run_reference(html, refrun_cwd)
