@@ -309,38 +309,89 @@ class CrawlJob:
             # Task-based stages with per-process cached state fuse into one
             # operator and persist caches across waves (actor pools would be
             # torn down and rebuilt every wave).
-            ds = rd.from_pandas(allowed[["url_canon", "depth"]])
-            fetched = ds.map_batches(
-                cached_fetch_batch(cfg.corpus_size, cfg.seed),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                num_cpus=1,
-            )
-            ok = fetched.filter(expr="fetch_status == '200'")
-            parsed = ok.map_batches(
-                cached_parse_batch(),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                num_cpus=1,
-            )
-            pairs_table = pa.Table.from_pandas(
-                parsed.select_columns(
-                    ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "status"]
-                ).to_pandas(),
-                preserve_index=False,
-            )
-            ctr["pairs_rows"] = pairs_table.num_rows
-            statuses = pairs_table.column("status").to_pylist()
-            ctr["parsed_ok"] = statuses.count("ok")
-            ctr["parse_err"] = statuses.count("error")
-            fetch_statuses = fetched.select_columns(["fetch_status"]).to_pandas()
-            ctr["fetched"] = int((fetch_statuses["fetch_status"] == "200").sum())
-            ctr["http_404"] = int((fetch_statuses["fetch_status"] == "404").sum())
+            # ONE fused pipeline pass per wave: fetch → parse → link-extract
+            # in the same task, with each task WRITING its pairs fragment
+            # directly (image payloads never travel to the driver); only
+            # links + counters come back. Fragment names are content-derived
+            # so reruns are idempotent; the driver atomically promotes the
+            # fragment dir at checkpoint (finalize_partition).
+            fetch_fn = cached_fetch_batch(cfg.corpus_size, cfg.seed)
+            parse_fn = cached_parse_batch()
+            pairs_root = os.path.join(cfg.out_dir, "pairs")
+            tmpdir = os.path.join(pairs_root, f".wave{wave:03d}.building")
+            os.makedirs(tmpdir, exist_ok=True)
 
-            aio.write_partition(
-                pairs_table,
-                os.path.join(cfg.out_dir, "pairs"),
-                key=f"wave{wave:03d}",
+            def fetch_parse_links(batch: pa.Table) -> pa.Table:
+                import hashlib as _hashlib
+                import json as _json
+
+                import pyarrow.parquet as _pq
+
+                fetched_b = fetch_fn(batch)
+                mask = [s == "200" for s in fetched_b.column("fetch_status").to_pylist()]
+                ok_b = fetched_b.filter(pa.array(mask))
+                parsed_b = parse_fn(ok_b)
+                pairs_b = parsed_b.select(
+                    ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "status"]
+                )
+                if pairs_b.num_rows:
+                    name = _hashlib.blake2b(
+                        "|".join(batch.column("url_canon").to_pylist()).encode(),
+                        digest_size=8,
+                    ).hexdigest()
+                    _pq.write_table(pairs_b, os.path.join(tmpdir, f"part-{name}.parquet"))
+                links_b = extract_links_batch(ok_b)
+                statuses = parsed_b.column("status").to_pylist()
+                summary = _json.dumps(
+                    {
+                        "fetched": int(sum(mask)),
+                        "http_404": int(len(mask) - sum(mask)),
+                        "pairs_rows": pairs_b.num_rows,
+                        "parsed_ok": statuses.count("ok"),
+                        "parse_err": statuses.count("error"),
+                        "links": {
+                            "url_canon": links_b.column("url_canon").to_pylist(),
+                            "url_hash": [int(h) for h in links_b.column("url_hash").to_pylist()],
+                            "host": links_b.column("host").to_pylist(),
+                            "depth": links_b.column("depth").to_pylist(),
+                        },
+                    }
+                )
+                return pa.table({"summary": pa.array([summary], pa.string())})
+
+            # from_pandas(df) yields ONE block = one task; split the wave
+            # into batch-sized chunks so it fans out across the cluster
+            work = allowed[["url_canon", "depth"]].reset_index(drop=True)
+            chunks = [
+                work.iloc[i: i + cfg.batch_size]
+                for i in range(0, len(work), cfg.batch_size)
+            ]
+            ds = rd.from_pandas(chunks)
+            result = ds.map_batches(
+                fetch_parse_links,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                num_cpus=1,
+            ).to_pandas()
+
+            import json as _json
+
+            link_frames = []
+            for blob in result["summary"]:
+                meta = _json.loads(blob)
+                ctr["fetched"] += meta["fetched"]
+                ctr["http_404"] += meta["http_404"]
+                ctr["pairs_rows"] += meta["pairs_rows"]
+                ctr["parsed_ok"] += meta["parsed_ok"]
+                ctr["parse_err"] += meta["parse_err"]
+                if meta["links"]["url_canon"]:
+                    link_frames.append(pd.DataFrame(meta["links"]))
+
+            aio.finalize_partition(
+                pairs_root,
+                f"wave{wave:03d}",
+                tmpdir,
+                rows=ctr["pairs_rows"],
                 lineage={
                     "wave": wave,
                     "urls": len(allowed),
@@ -348,9 +399,11 @@ class CrawlJob:
                 },
             )
 
-            links = ok.map_batches(
-                extract_links_batch, batch_format="pyarrow", batch_size=cfg.batch_size
-            ).to_pandas()
+            links = (
+                pd.concat(link_frames, ignore_index=True)
+                if link_frames
+                else pd.DataFrame(columns=["url_canon", "url_hash", "host", "depth"])
+            )
             ctr["links"] = len(links)
             if not links.empty:
                 links["url_hash"] = links["url_hash"].astype(np.uint64)

@@ -95,13 +95,33 @@ def write_partition(table: pa.Table, root: str, key: str, lineage: dict | None =
     return final
 
 
+def finalize_partition(
+    root: str, key: str, tmpdir: str, rows: int, lineage: dict | None = None
+) -> str:
+    """Atomically promote a directory of worker-written fragments to the
+    final partition and record it in the manifest (distributed-write path:
+    tasks write ``part-*.parquet`` into ``tmpdir``; the driver finalizes)."""
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, key)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmpdir, final)
+    manifest = load_manifest(root)
+    manifest["partitions"][key] = {"rows": rows, "lineage": lineage or {}}
+    _store_manifest(root, manifest)
+    return final
+
+
 def read_partitions(root: str) -> pa.Table:
     manifest = load_manifest(root)
     tables = []
     for key in sorted(manifest["partitions"]):
-        part = os.path.join(root, key, "part-0.parquet")
-        if os.path.exists(part):
-            tables.append(pq.read_table(part))
+        pdir = os.path.join(root, key)
+        if not os.path.isdir(pdir):
+            continue
+        for frag in sorted(os.listdir(pdir)):
+            if frag.endswith(".parquet"):
+                tables.append(pq.read_table(os.path.join(pdir, frag)))
     if not tables:
         raise FileNotFoundError(f"no completed partitions under {root}")
     return pa.concat_tables(tables)

@@ -111,6 +111,42 @@ def headline_pages_per_sec(num_cpus: int, n_pages: int) -> dict:
     }
 
 
+def crawl_urls_per_sec(num_cpus: int) -> dict:
+    """Full crawl-loop throughput: dequeue → politeness → fetch → parse →
+    per-wave pairs partitions → link extract → cuckoo dedupe → re-enqueue,
+    checkpointed every wave."""
+    import tempfile
+
+    from akf_cdparser_ray.pipelines.crawl import CrawlConfig, CrawlJob
+    from akf_cdparser_ray.sources.synth import page_url_for_idx
+
+    n = 10000
+    budgets = {f"host{k}.example": {"per_wave": 100000, "burst": 100000} for k in range(20)}
+    cfg = CrawlConfig(
+        seeds=[page_url_for_idx(i) for i in range(1000)],
+        corpus_size=n,
+        out_dir=tempfile.mkdtemp(prefix="crawlbench_"),
+        num_shards=32,
+        num_politeness_shards=8,
+        dequeue_k=512,
+        max_waves=4,
+        budgets=budgets,
+        batch_size=128,
+    )
+    job = CrawlJob(cfg)
+    t0 = time.perf_counter()
+    summary = job.run()
+    elapsed = time.perf_counter() - t0
+    job.shutdown()
+    fetched = sum(c["fetched"] for c in summary["counters"])
+    return {
+        "urls": fetched,
+        "seconds": round(elapsed, 2),
+        "urls_per_sec": round(fetched / elapsed, 1),
+        "waves": summary["waves"],
+    }
+
+
 def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entrymod
 
@@ -138,6 +174,7 @@ def main() -> None:
             logging_level="ERROR",
         )
     head = headline_pages_per_sec(NUM_CPUS, N_PAGES)
+    crawl = crawl_urls_per_sec(NUM_CPUS)
     queries = run_queries(SF_DIR)
     ray.shutdown()
     print(
@@ -151,6 +188,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "pages": head["pages"],
                 "pages_per_sec": round(head["pages_per_sec"], 1),
+                "crawl": crawl,
             }
         )
     )
