@@ -313,17 +313,16 @@ class ProfileParser:
                         address_parts = address_parts[idxx + 1:length]
                         break
                 filtered = [p for p in address_parts if p]
-                if not filtered:
-                    ret_temp.append(obj)
-                    obj = {}
-                    continue
+                # no guard here: the reference indexes [0] unchecked and its
+                # try/catch abandons the whole section on an empty block —
+                # filtered[0] raising IndexError reproduces that exactly
                 if "," not in filtered[0] and not re.search(r"[(]", filtered[0]):
                     obj["city"] = filtered[0]
                     if len(filtered) > 1:
                         filtered = [p for p in address_parts if p]
                         filtered.pop(0)
                 sec = [p for p in filtered if p]
-                if sec and re.search(r"Postfach|P\.O\.Box", sec[0]) is None:
+                if re.search(r"Postfach|P\.O\.Box", sec[0]) is None:
                     first = filtered.pop(0) if filtered else ""
                     if "," in first:
                         stripped0 = re.sub(r"\d+", "", sec[0])
