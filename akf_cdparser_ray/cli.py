@@ -1,0 +1,168 @@
+"""User-facing CLI mirroring the reference's ``bin/`` entry points.
+
+    python -m akf_cdparser_ray.cli html2json <input_dir> <output_dir>
+    python -m akf_cdparser_ray.cli validate  <json_dir> [--diff]
+    python -m akf_cdparser_ray.cli json2sql  <json_dir> [-o out.sql]
+    python -m akf_cdparser_ray.cli crawl     <out_dir> --seeds ... [--resume]
+
+``html2json`` is the reference's flagship (``bin/akf-html2json``: walk the
+tree, parse every ``*.html``, write one ``.json`` per input in a mirrored
+tree) — distributed here. ``validate``/``json2sql`` mirror
+``bin/akf-json-validate``/``bin/akf-json2sql``. CLI entry points own their
+Ray session (guarded init), unlike the library.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    return ray
+
+
+def cmd_html2json(args) -> int:
+    ray = _ensure_ray(args.parallel)
+    from .sources.dirsource import parse_html_tree, write_mirrored_json
+
+    parsed = parse_html_tree(args.input, batch_size=args.batch_size)
+    written = write_mirrored_json(parsed, args.output)
+    print(f"wrote {written} json files under {args.output}")
+    ray.shutdown()
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from .parsing import validator
+
+    n_bad = 0
+    for path in sorted(glob.glob(os.path.join(args.input, "**", "*.json"), recursive=True)):
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        entries = data.get("all_wkn_entry") or []
+        if entries and entries[0].get("wkn"):
+            try:
+                data["wkn"] = int(entries[0]["wkn"])
+            except (TypeError, ValueError):
+                pass
+        ok, errors = validator.validate(data)
+        if not ok:
+            n_bad += 1
+            print(f"{path}: INVALID — {'; '.join(errors)}")
+            if args.write_errors:
+                with open(path + ".errors", "w", encoding="utf-8") as f:
+                    json.dump(errors, f, indent=1)
+        if args.diff and "_fulltext" in data:
+            residue = validator.unparsed_text(data).strip()
+            if residue:
+                print(f"{path}: unparsed residue: {residue[:200]}")
+    print(f"{n_bad} invalid files")
+    return min(1, n_bad)
+
+
+def cmd_json2sql(args) -> int:
+    from .parsing.converter import json2sql
+
+    out = open(args.output, "w", encoding="utf-8") if args.output else sys.stdout
+    try:
+        for path in sorted(
+            glob.glob(os.path.join(args.input, "**", "*.json"), recursive=True)
+        ):
+            with open(path, encoding="utf-8") as f:
+                data = json.load(f)
+            entries = data.get("all_wkn_entry") or []
+            if entries and entries[0].get("wkn"):
+                try:
+                    data["wkn"] = int(entries[0]["wkn"])
+                except (TypeError, ValueError):
+                    pass
+            sql = json2sql(data)
+            if sql:
+                out.write(sql)
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_crawl(args) -> int:
+    ray = _ensure_ray(args.parallel)
+    from .pipelines.crawl import CrawlConfig, CrawlJob
+
+    cfg = CrawlConfig(
+        seeds=args.seeds,
+        corpus_size=args.corpus_size,
+        out_dir=args.out_dir,
+        max_waves=args.max_waves,
+        dequeue_k=args.dequeue_k,
+    )
+    job = CrawlJob(cfg)
+    summary = job.run(resume=args.resume)
+    fetched = sum(c["fetched"] for c in summary["counters"])
+    print(
+        json.dumps(
+            {
+                "waves": summary["waves"],
+                "fetched": fetched,
+                "seen": summary["seen_total"],
+                "frontier": summary["frontier_size"],
+            }
+        )
+    )
+    job.shutdown()
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="akf_cdparser_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("html2json", help="parse an HTML tree into mirrored JSON")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("-n", "--parallel", type=int, default=None, help="CPU count")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.set_defaults(fn=cmd_html2json)
+
+    p = sub.add_parser("validate", help="schema-validate parsed JSON files")
+    p.add_argument("input")
+    p.add_argument("--diff", action="store_true", help="print unparsed residue")
+    p.add_argument("--write-errors", action="store_true")
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("json2sql", help="emit SQL INSERT rows from parsed JSON")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(fn=cmd_json2sql)
+
+    p = sub.add_parser("crawl", help="run the wave-based crawl loop")
+    p.add_argument("out_dir")
+    p.add_argument("--seeds", nargs="+", required=True)
+    p.add_argument("--corpus-size", type=int, default=1000)
+    p.add_argument("--max-waves", type=int, default=5)
+    p.add_argument("--dequeue-k", type=int, default=64)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("-n", "--parallel", type=int, default=None)
+    p.set_defaults(fn=cmd_crawl)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
