@@ -252,5 +252,9 @@ def parse_beteiligungen(tables_arr, tables_parsed, rest, infos) -> dict | None:
                         ret["elemente"].append(current)
                         current = {"ueberschrift": cur_rest, "zeilen": []}
     if current:
+        if current["ueberschrift"] is None:
+            # JSON.stringify drops undefined keys — an item that never got a
+            # headline (no tables recognized) has no ueberschrift in the ref
+            del current["ueberschrift"]
         ret["elemente"].append(current)
     return ret

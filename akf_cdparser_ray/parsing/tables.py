@@ -1189,7 +1189,11 @@ def parse_aus_bilanzen(tables_parsed, tables_arr, rest, infos, headline) -> dict
                 if not tu.is_object_empty(filled):
                     for key, items in filled.items():
                         for it in items:
-                            if column_identifiers and 0 <= i - 1 < len(column_identifiers):
+                            if (
+                                column_identifiers
+                                and 0 <= i - 1 < len(column_identifiers)
+                                and column_identifiers[i - 1]  # JS-falsy '' skips
+                            ):
                                 it["columnId"] = column_identifiers[i - 1]
                             ret["ausBilanzen"] = push_item_to_return_object(
                                 key, it, ret["ausBilanzen"], push_ctr
@@ -1328,7 +1332,11 @@ def parse_aus_gewinn_und_verlustrechnungen(
                 item_indices_groups.append(cur)
             else:
                 filled = parse_column_content_to_item(current_column, item_indices_groups)
-                if column_identifiers and 0 <= i - 1 < len(column_identifiers):
+                if (
+                    column_identifiers
+                    and 0 <= i - 1 < len(column_identifiers)
+                    and column_identifiers[i - 1]  # JS-falsy '' skips
+                ):
                     filled["columnId"] = column_identifiers[i - 1]
                 ret = push_item_to_return_object(
                     "ausGewinnUndVerlustRechnung", filled, ret, i
