@@ -93,22 +93,28 @@ def classify_line(line: str, zumstein: bool = False) -> list[tuple[str, str, int
     return out
 
 
-def classify_batch(batch: pd.DataFrame) -> pd.DataFrame:
+def classify_batch(batch: pd.DataFrame, zumstein: bool = False) -> pd.DataFrame:
     """lines batch → exploded (sector, key, type) rows (the flat_map)."""
     sectors, keys, types = [], [], []
     for line in batch["line"].fillna(""):
-        for typ, key, sector in classify_line(str(line)):
+        for typ, key, sector in classify_line(str(line), zumstein=zumstein):
             sectors.append(sector)
             keys.append(key)
             types.append(typ)
     return pd.DataFrame({"sector": sectors, "key": keys, "type": types})
 
 
-def analyze_lines(lines_ds) -> pd.DataFrame:
-    """Distributed LSE: classify → partial groupby count → final count."""
-    from .relational import partial_groupby_sum
+def analyze_lines(lines_ds, zumstein: bool = False) -> pd.DataFrame:
+    """Distributed LSE: classify → partial groupby count → final count.
 
-    exploded = lines_ds.map_batches(classify_batch, batch_format="pandas")
+    ``zumstein=True`` is the reference's special configuration (one segment,
+    special characters only; lineSegmentAnalyzer.js:25,115-128)."""
+    from .relational import partial_groupby_sum
+    import functools
+
+    exploded = lines_ds.map_batches(
+        functools.partial(classify_batch, zumstein=zumstein), batch_format="pandas"
+    )
 
     def add_one(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -151,9 +157,9 @@ def group_neighborhoods(df: pd.DataFrame, grouping_range: int = GROUPING_RANGE) 
     return out.sort_values(["group_ctr", "key"], ascending=[False, True]).reset_index(drop=True)
 
 
-def separator_report(lines_ds, top_n: int = 30) -> pd.DataFrame:
+def separator_report(lines_ds, top_n: int = 30, zumstein: bool = False) -> pd.DataFrame:
     """The S5 report: which separators/tokens dominate which line sectors
     (the xlsx content as a DataFrame; write with to_csv/parquet)."""
-    df = analyze_lines(lines_ds)
+    df = analyze_lines(lines_ds, zumstein=zumstein)
     grouped = group_neighborhoods(df)
     return grouped.head(top_n)
