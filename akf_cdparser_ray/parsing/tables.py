@@ -691,7 +691,9 @@ def push_item_to_return_object(identifier, item_to_push, return_object, row_inde
     if not tu.is_object_empty(item_to_push):
         if not item_to_push.get("jahr"):
             arr = return_object[identifier]
-            if 0 <= row_index - 1 < len(arr) and arr[row_index - 1]:
+            # JS truthiness: an EMPTY object at [rowIndex-1] is truthy and
+            # receives the merge (only undefined/null fail the check)
+            if 0 <= row_index - 1 < len(arr) and arr[row_index - 1] is not None:
                 for key, val in item_to_push.items():
                     if val:
                         arr[row_index - 1][key] = val
