@@ -113,12 +113,18 @@ class ProfileParser:
     def parse(self, lines_str: str) -> dict:
         """ref parser.js:1879-1906"""
         lines = lines_str.split("\n")
+        # JS indexOf returns -1 when </head> is missing, so the sentinel
+        # lands at index 1 (ref parser.js:1881) — mirror that, including the
+        # append when the target is one past the end
         try:
             head_end = lines.index("</head>")
-            if head_end + 2 < len(lines):
-                lines[head_end + 2] = "AKF_PARSER_START"
         except ValueError:
-            pass
+            head_end = -1
+        pos = head_end + 2
+        if 0 <= pos < len(lines):
+            lines[pos] = "AKF_PARSER_START"
+        elif pos == len(lines):
+            lines.append("AKF_PARSER_START")
 
         ret: dict = {}
         self._counts: dict[str, int] = {}  # per-document section call counts (ST4)
@@ -789,8 +795,7 @@ class ProfileParser:
 
         if "kapitalEntwicklungIndex" in rec:
             r = pt.parse_kapital_entwicklung(tables_parsed, rec["kapitalEntwicklungIndex"])
-            if r:
-                ret["kapitalEntwicklung"] = r
+            ret["kapitalEntwicklung"] = r  # JS: [] is truthy, always assigned
         if "grundkapitalIndex" in rec:
             r = pt.parse_grundkapital(
                 tables_parsed, tables_arr, rest, infos, rec["grundkapitalIndex"]
@@ -806,63 +811,56 @@ class ProfileParser:
                 tables_parsed, tables_arr, rest, infos,
                 rec["genehmKapitalIndex"], nxt(rec["genehmKapitalIndex"]), substituted,
             )
-            if r:
-                ret["genehmigtesKapital"] = r
+            ret["genehmigtesKapital"] = r  # JS: {} is truthy, always assigned
         if "genehmGenusKapitalIndex" in rec:
             r = pt.parse_genehm_kapital(
                 tables_parsed, tables_arr, rest, infos,
                 rec["genehmGenusKapitalIndex"], nxt(rec["genehmGenusKapitalIndex"]), substituted,
             )
-            if r:
-                ret["genehmigtesGenusKapital"] = r
+            ret["genehmigtesGenusKapital"] = r  # JS: {} is truthy, always assigned
         if "derzeitigesGenusKapitalIndex" in rec:
             r = pt.parse_grundkapital(
                 tables_parsed, tables_arr, rest, infos,
                 rec["derzeitigesGenusKapitalIndex"], "genu",
             )
-            if r:
-                ret["derzeitigesGenusKapital"] = r.get("grundkapital")
+            # JS assigns r.grundkapital; undefined-valued keys vanish in JSON
+            if "grundkapital" in r:
+                ret["derzeitigesGenusKapital"] = r["grundkapital"]
         if "entwicklungGenusKapitalIndex" in rec:
             r = pt.parse_entwicklung_genus_kapital(
                 tables_parsed, rec["entwicklungGenusKapitalIndex"]
             )
-            if r:
-                ret["entwicklungDesGenusKapitals"] = r
+            ret["entwicklungDesGenusKapitals"] = r  # JS: [] truthy
         if "bedingKapitalIndex" in rec:
             r = pt.parse_beding_kapital(
                 tables_parsed, tables_arr, rest, infos,
                 rec["bedingKapitalIndex"], nxt(rec["bedingKapitalIndex"]),
             )
-            if r:
-                ret["bedingtesKapital"] = r
+            ret["bedingtesKapital"] = r  # JS: object truthy
         if "bedingKapitalIndex2" in rec:
             r = pt.parse_beding_kapital(
                 tables_parsed, tables_arr, rest, infos,
                 rec["bedingKapitalIndex2"], nxt(rec["bedingKapitalIndex2"]),
             )
-            if r:
-                ret["bedingtesKapital2"] = r
+            ret["bedingtesKapital2"] = r  # JS: object truthy
         if "besBezugsrechteIndex" in rec:
             r = pt.parse_bes_bezugsrechte(
                 tables_parsed, tables_arr, rest, infos,
                 rec["besBezugsrechteIndex"], nxt(rec["besBezugsrechteIndex"]),
             )
-            if r:
-                ret["besBezugsrechte"] = r
+            ret["besBezugsrechte"] = r  # JS: object truthy
         if "ermaechtigungAktienErwerbIndex" in rec:
             r = pt.parse_erm_aktienerwerb(
                 tables_parsed, tables_arr, rest, infos,
                 rec["ermaechtigungAktienErwerbIndex"],
                 nxt(rec["ermaechtigungAktienErwerbIndex"]),
             )
-            if r:
-                ret["ermächtigungAktienerwerb"] = r
+            ret["ermächtigungAktienerwerb"] = r  # JS: object truthy
         if "ausgegebenesKapitalIndex" in rec:
             r = pt.parse_ausgegebenes_kapital(
                 tables_parsed, tables_arr, rest, infos, rec["ausgegebenesKapitalIndex"]
             )
-            if r:
-                ret["ausgegebenesKapital"] = r
+            ret["ausgegebenesKapital"] = r  # JS: object truthy
         return i
 
     # ------------------------------------------------------------------
