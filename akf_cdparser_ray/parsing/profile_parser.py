@@ -312,10 +312,14 @@ class ProfileParser:
                         toks = re.split(r"\s+", address_parts[idxx])
                         obj["lcustomerzip"] = toks[1] if len(toks) > 1 else ""
                         rest_toks = toks[2:]
+                        # JS leaves the property undefined on an empty
+                        # split → the key vanishes in JSON; mirror by delete
                         obj["lcustomercity"] = (
                             " ".join(rest_toks) if len(rest_toks) > 1
                             else (rest_toks[0] if rest_toks else None)
                         )
+                        if obj["lcustomercity"] is None:
+                            del obj["lcustomercity"]
                         address_parts = address_parts[idxx + 1:length]
                         break
                 filtered = [p for p in address_parts if p]
@@ -363,6 +367,8 @@ class ProfileParser:
                             " ".join(city_toks) if len(city_toks) > 1
                             else (city_toks[0] if city_toks else None)
                         )
+                        if obj["city"] is None:
+                            del obj["city"]  # JS undefined key vanishes in JSON
                     else:
                         obj["city"] = sec[0]
                 for address_part in sec:

@@ -701,6 +701,8 @@ def push_item_to_return_object(identifier, item_to_push, return_object, row_inde
                 if item_to_push.get("jahr") == "":
                     try:
                         first_key = next(iter(return_object))
+                        if row_index - 1 < 0:
+                            raise IndexError  # JS [-1] is undefined → throws
                         check_year = return_object[first_key][row_index - 1]["jahr"]
                         item_to_push["jahr"] = check_year
                         return_object[identifier].append(item_to_push)

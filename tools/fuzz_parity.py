@@ -40,7 +40,7 @@ def diff(a, b, path="$", out=None, maxn=3):
 def mutate(html, rng):
     lines = html.split('\n')
     for _ in range(rng.randrange(1, 4)):
-        op = rng.randrange(11)
+        op = rng.randrange(14)
         if op == 0 and len(lines) > 30:
             a = rng.randrange(10, len(lines) - 10); b = min(len(lines) - 5, a + rng.randrange(1, 8))
             lines = lines[:a] + lines[b:]
@@ -78,10 +78,26 @@ def mutate(html, rng):
                 i = rng.choice(idxs)
                 pos = rng.randrange(len(lines[i]))
                 lines[i] = lines[i][:pos] + '(' + lines[i][pos:]
-        else:
+        elif op == 10:
             i = rng.randrange(len(lines))
             if len(lines[i]) > 10:
                 lines[i] = lines[i][: rng.randrange(5, len(lines[i]))]
+        elif op == 11:  # duplicate a whole section block (header + next lines)
+            idxs = [i for i, l in enumerate(lines) if '<b>' in l and ':' in l]
+            if idxs:
+                i = rng.choice(idxs)
+                j = min(len(lines), i + rng.randrange(2, 6))
+                lines[j:j] = lines[i:j]
+        elif op == 12:  # inject a stray ISIN/WKN line mid-document
+            i = rng.randrange(len(lines))
+            lines.insert(i, rng.choice([
+                'ISIN: DE0001234567, Stammaktien<br>',
+                'Wertpapier-Kenn-Nr.: 123456, Stammaktien<br>',
+            ]))
+        else:  # move a line elsewhere
+            i = rng.randrange(len(lines))
+            l = lines.pop(i)
+            lines.insert(rng.randrange(len(lines)), l)
     return '\n'.join(lines)
 
 def canon(x):
