@@ -31,6 +31,14 @@ _DIGITS_RE = re.compile(r"\d+")
 _HEAD_RE = re.compile(r"<head>[\s\S]*</head>", re.IGNORECASE)
 
 
+_JS_UNDEF = object()  # JS `undefined`: keys with this value vanish in JSON
+
+
+def _wkn_entry(type_, isin, wkn, nw) -> dict:
+    entry = {"type": type_, "isin": isin, "wkn": wkn, "nw": nw}
+    return {k: v for k, v in entry.items() if v is not _JS_UNDEF}
+
+
 def _line(lines: list[str], i: int) -> str | None:
     return lines[i] if 0 <= i < len(lines) else None
 
@@ -191,9 +199,7 @@ class ProfileParser:
                 re.search("Wertpapier-Kenn", cur) or re.search(r"Wertpapier Kenn\.-Nr\.", cur)
             ):
                 if entry_idx > 0:
-                    all_wkn_entry.append(
-                        {"type": type_, "isin": isin, "wkn": wkn, "nw": nw}
-                    )
+                    all_wkn_entry.append(_wkn_entry(type_, isin, wkn, nw))
                     type_ = isin = wkn = nw = ""
                 dm = _DIGITS_RE.findall(cur)
                 wkn = dm[0] if dm else ""
@@ -209,7 +215,9 @@ class ProfileParser:
                         if re.search("</center>", nxt):
                             break
                     if tm is None:
-                        type_ = ""
+                        # ref: type="" then the unguarded type=type[1] makes
+                        # it ""[1] → undefined, so the key vanishes in JSON
+                        type_ = _JS_UNDEF
                         i = startidx
                 if tm is not None:
                     type_ = tm.group(1)
@@ -217,9 +225,7 @@ class ProfileParser:
             cur = _line(lines, i)
             if cur and re.search("ISIN:", cur):
                 if entry_idx > 1:
-                    all_wkn_entry.append(
-                        {"type": type_, "isin": isin, "wkn": wkn, "nw": nw}
-                    )
+                    all_wkn_entry.append(_wkn_entry(type_, isin, wkn, nw))
                     type_ = isin = wkn = nw = ""
                 tail = re.search(r"[^>]+$", cur)
                 isin = tail.group(0) if tail else ""
@@ -230,13 +236,11 @@ class ProfileParser:
                 ):
                     empty = isin
                     isin = ""
-                    all_wkn_entry.append(
-                        {"type": type_, "isin": isin, "wkn": wkn, "nw": nw}
-                    )
+                    all_wkn_entry.append(_wkn_entry(type_, isin, wkn, nw))
                     type_ = wkn = nw = ""
                     isin = empty
                 tm2 = None
-                if type_ is None or type_ == "":
+                if type_ is None or type_ is _JS_UNDEF or type_ == "":
                     tm2 = _PARENS_RE.search(cur)
                     if tm2 is None:
                         while True:
@@ -266,7 +270,7 @@ class ProfileParser:
             if not (end1 and end2) or i >= n:
                 break
 
-        all_wkn_entry.append({"type": type_, "isin": isin, "wkn": wkn, "nw": nw})
+        all_wkn_entry.append(_wkn_entry(type_, isin, wkn, nw))
         i -= 1
         ret["all_wkn_entry"] = all_wkn_entry
         return i
