@@ -38,9 +38,10 @@ class SyntheticFetcher:
         if not (0 <= idx < self.n):
             return None
         p = synth.gen_profile(idx, self.seed)
+        # URL-only neighbor derivation (page_url_for_idx avoids building the
+        # 3 full neighbor profiles; identical URLs by construction)
         neighbors = [
-            synth.page_url(synth.gen_profile((idx * 7 + k + 1) % self.n, self.seed))
-            for k in range(3)
+            synth.page_url_for_idx((idx * 7 + k + 1) % self.n) for k in range(3)
         ]
         data, pix = synth.make_image(p)
         return p, synth.render_page(p, neighbors), data, im.phash64(pix)
