@@ -34,6 +34,14 @@ _HEAD_RE = re.compile(r"<head>[\s\S]*</head>", re.IGNORECASE)
 _JS_UNDEF = object()  # JS `undefined`: keys with this value vanish in JSON
 
 
+class _JsArrayDict(dict):
+    """A JS Array used as a keyed map: named properties work in-code but
+    JSON.stringify serializes the array, so they all vanish ("[]").
+    The Kurse and Dividenden sections initialize ``ret.boersenbewertung``
+    this way when no Börsenbewertung object exists yet
+    (ref parser.js:1563,1631); parse() renders it as [] at the end."""
+
+
 def _wkn_entry(type_, isin, wkn, nw) -> dict:
     entry = {"type": type_, "isin": isin, "wkn": wkn, "nw": nw}
     return {k: v for k, v in entry.items() if v is not _JS_UNDEF}
@@ -165,6 +173,8 @@ class ProfileParser:
                     i = res if res else i  # JS: i = fn(...) || i
                     break
             i += 1
+        if isinstance(ret.get("boersenbewertung"), _JsArrayDict):
+            ret["boersenbewertung"] = []  # stringify of the array: props lost
         return ret
 
     def _count(self, key: str) -> int:
@@ -944,7 +954,7 @@ class ProfileParser:
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
         )
         if result:
-            ret.setdefault("boersenbewertung", {})
+            ret.setdefault("boersenbewertung", _JsArrayDict())  # ref :1563
             for k, val in result.items():
                 if val and ret["boersenbewertung"].get(k):
                     ret["boersenbewertung"][k].update(val)
@@ -980,7 +990,7 @@ class ProfileParser:
         result = pt.parse_dividenden(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
         )
-        ret.setdefault("boersenbewertung", {})
+        ret.setdefault("boersenbewertung", _JsArrayDict())  # ref :1631
         for k, val in result.items():
             if ret["boersenbewertung"].get(k) and val:
                 ret["boersenbewertung"][k].update(val)
