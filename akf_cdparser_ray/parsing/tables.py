@@ -967,7 +967,9 @@ def parse_ergebnisabfuehrung(tables_parsed, tables_arr, rest, infos, callnumber,
     ret: list[dict] = []
     table = tables_parsed[0] if tables_parsed else None
     if not table:
-        return {"ergebnisabfuehrung": ret}
+        # ref :1301 early-returns the bare array (skipping the wrapping),
+        # so Object.assign merges NOTHING — no ergebnisabfuehrung key
+        return {}
     if not mode:
         for i in range(len(table[0])):
             entry = {"jahr": "", "betrag": ""}
