@@ -89,3 +89,14 @@ def test_parity_synthetic_pages(refrun_cwd, idx):
     ref = run_reference(html, refrun_cwd)
     mine = parse_profile(html)
     assert deep_diff(ref, mine) == [], idx
+
+
+@pytest.mark.parametrize("idx", [0, 3, 7, 11])
+def test_parity_full_page_mojibake(refrun_cwd, idx):
+    """utf-8 bytes misread as latin-1 (the historical CD encoding accident)
+    must parse byte-identically to the reference too."""
+    html = synth.render_page(synth.gen_profile(idx))
+    mojibake = html.encode("utf-8").decode("latin-1")
+    ref = run_reference(mojibake, refrun_cwd)
+    mine = parse_profile(mojibake)
+    assert deep_diff(ref, mine) == [], idx
