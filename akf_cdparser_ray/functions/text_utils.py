@@ -77,13 +77,18 @@ def remove_empty_entries_from_object(obj: dict) -> dict:
 
 def remove_strings_from_string(line: str, array_of_strings: list[str]) -> str:
     """Subtract strings (longest first, first occurrence each) from a line
-    (ref utils.js:108-126)."""
+    (ref utils.js:108-126).
+
+    NOTE: the reference sorts the CALLER's array in place (length desc) —
+    a load-bearing side effect: parse_aktionaer iterates the same array
+    afterwards, so bemerkungen come out longest-first. Mirrored."""
     if not line:
         return line
     if not array_of_strings:
         return line
+    array_of_strings.sort(key=lambda a: -(len(a) if a else 0))
     changed = line
-    for s in sorted(array_of_strings, key=lambda a: -(len(a) if a else 0)):
+    for s in array_of_strings:
         if s:
             changed = changed.replace(s, "", 1)
     return changed
