@@ -215,13 +215,15 @@ def q_ann_topk(sf_dir: str):
 
     from akf_cdparser_ray.stages.ann import bruteforce_topk
 
+    # predicate pushdown: only the 3 query rows' row groups leave storage
     emb = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", _ANN_QUERY_IDS)],
     )
     lookup = {
         int(v): e
         for v, e in zip(emb.column("vec_id").to_pylist(), emb.column("embedding").to_pylist())
-        if int(v) in _ANN_QUERY_IDS
     }
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return bruteforce_topk(ds, {qid: lookup[qid] for qid in _ANN_QUERY_IDS}, k=10)
@@ -361,7 +363,8 @@ def q_phash_neardup(_sf_dir: str):
             noisy[::19, ::19] ^= 1
             rows.append((f"img{i:03d}_dup", im.phash64(noisy)))
     df = pd.DataFrame(rows, columns=["image_id", "phash"])
-    return phash_neardup_pairs(df, max_hamming=6)
+    # bands=8 so the banding guarantee (Hamming <= bands-1) covers max_hamming
+    return phash_neardup_pairs(df, max_hamming=6, bands=8)
 
 
 def q_lse_report(sf_dir: str):

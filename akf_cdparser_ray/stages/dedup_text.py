@@ -6,9 +6,14 @@
 * Embedding cosine near-dup: seeded random-hyperplane LSH buckets →
   within-bucket exact cosine.
 
-All shuffles move only (doc_id, key) projections — never the text/embedding
-payloads, which are re-joined (broadcast at this scale, fragment-local join
-at 100 TB) only for the final verify of the *candidate* set.
+Every stage is a Dataset transform: shuffles move only (doc_id, key)
+projections or candidate-sized payloads — never the full corpus. The verify
+halves are distributed too: candidate texts are selected by a broadcast
+candidate-id *set* (bounded by the candidate count, not the corpus), their
+shingle arrays shuffled to the pairs by doc_id via ``groupby.map_groups``
+joins; embeddings travel once to their LSH bucket and are verified with a
+vectorized within-bucket cosine. The driver only ever sees the final
+(pair, score) rows.
 """
 
 from __future__ import annotations
@@ -54,6 +59,14 @@ def jaccard(a: set[int], b: set[int]) -> float:
     return len(a & b) / len(a | b)
 
 
+def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two sorted-unique uint64 arrays (== set semantics)."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (a.size + b.size - inter)
+
+
 class MinHashStage:
     """documents batch → (doc_id, band_id, band_key) rows (exploded)."""
 
@@ -82,8 +95,13 @@ def minhash_lsh_pairs(docs_ds, *, num_perm=64, bands=16, shingle_k=3,
     """Full near-dup pipeline over a documents Dataset → pandas DataFrame of
     verified pairs (doc_a < doc_b, jaccard >= threshold).
 
-    The candidate-verify step broadcasts the text of candidate docs only —
-    at 100 TB that set is a re-read keyed by doc_id, not a full broadcast.
+    Fully distributed: candidates come out of the banded ``groupby`` and are
+    deduped by a second ``groupby``; only the candidate-*id* set (bounded by
+    the number of candidate pairs, a tiny fraction of the corpus) is pulled
+    to the driver and re-broadcast so workers can filter the corpus down to
+    candidate texts. Shingle arrays are then routed to their pairs through
+    two ``groupby(doc_id).map_groups`` joins and the exact-Jaccard verify
+    runs inside the groups. No corpus-sized driver materialization anywhere.
     """
     import ray
 
@@ -100,55 +118,132 @@ def minhash_lsh_pairs(docs_ds, *, num_perm=64, bands=16, shingle_k=3,
             for j in range(i + 1, len(ids)):
                 out_a.append(ids[i])
                 out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    def first_row(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
 
     cand = (
         sigs.groupby(["band_id", "band_key"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-        .reset_index(drop=True)
+        .groupby(["doc_a", "doc_b"])          # cross-band pair dedup, distributed
+        .map_groups(first_row, batch_format="pandas")
+        .materialize()
     )
-    if cand.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    if cand.count() == 0:
+        return empty
 
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
-    texts = {}
-    for b in docs_ds.iter_batches(batch_size=4096, batch_format="pandas"):
-        for d, t in zip(b["doc_id"], b["text"]):
-            if d in needed:
-                texts[d] = t
-    texts_ref = ray.put(texts)
+    # candidate-id set: |ids| <= 2 * |candidate pairs| — broadcast once
+    ids: set[int] = set()
+    for b in cand.iter_batches(batch_size=65536, batch_format="pandas"):
+        ids.update(int(x) for x in b["doc_a"])
+        ids.update(int(x) for x in b["doc_b"])
+    ids_ref = ray.put(frozenset(ids))
 
-    @ray.remote
-    def verify(chunk: pd.DataFrame, ref):
-        tx = ref
-        sh = {d: _word_shingles(tx.get(d, ""), shingle_k) for d in set(chunk["doc_a"]) | set(chunk["doc_b"])}
-        jac = [jaccard(sh[a], sh[b]) for a, b in zip(chunk["doc_a"], chunk["doc_b"])]
-        chunk = chunk.copy()
-        chunk["jaccard"] = jac
-        return chunk[chunk["jaccard"] >= threshold]
+    def shingle_rows(batch: pd.DataFrame, *, ids_ref, k) -> pd.DataFrame:
+        wanted = ray.get(ids_ref) if not isinstance(ids_ref, frozenset) else ids_ref
+        keys, shs = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            if int(doc_id) in wanted:
+                arr = np.fromiter(_word_shingles(text, k), dtype=np.uint64)
+                arr.sort()
+                keys.append(int(doc_id))
+                shs.append(arr.tobytes().hex())
+        return pd.DataFrame({
+            "key": pd.Series(keys, dtype="int64"),
+            "doc_a": pd.Series([-1] * len(keys), dtype="int64"),
+            "doc_b": pd.Series([-1] * len(keys), dtype="int64"),
+            "sh": pd.Series(shs, dtype="object"),
+            "kind": pd.Series([0] * len(keys), dtype="int64"),
+        })
 
-    chunks = np.array_split(cand, max(1, len(cand) // 2000))
-    parts = ray.get([verify.remote(c, texts_ref) for c in chunks if len(c)])
-    out = pd.concat(parts, ignore_index=True) if parts else cand.head(0).assign(jaccard=[])
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    sh_ds = docs_ds.map_batches(
+        shingle_rows, fn_kwargs={"ids_ref": ids_ref, "k": shingle_k},
+        batch_format="pandas",
+    ).materialize()  # consumed by BOTH join hops; lazy re-execution would rescan the corpus
+
+    def pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["doc_a"].astype("int64"),
+            "doc_a": batch["doc_a"].astype("int64"),
+            "doc_b": batch["doc_b"].astype("int64"),
+            "sh": pd.Series([""] * len(batch), dtype="object"),
+            "kind": pd.Series([1] * len(batch), dtype="int64"),
+        })
+
+    def attach_a(group: pd.DataFrame) -> pd.DataFrame:
+        sh_row = group[group["kind"] == 0]
+        prs = group[group["kind"] == 1]
+        if prs.empty:
+            return group.head(0)
+        sh = sh_row["sh"].iloc[0] if len(sh_row) else ""
+        out = prs.copy()
+        out["sh"] = [sh] * len(prs)
+        out["key"] = out["doc_b"]          # re-key for the second hop
+        return out
+
+    hop1 = (
+        sh_ds.union(cand.map_batches(pair_rows, batch_format="pandas"))
+        .groupby("key")
+        .map_groups(attach_a, batch_format="pandas")
+    )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        sh_row = group[group["kind"] == 0]
+        prs = group[group["kind"] == 1]
+        if prs.empty:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        sh_b = (np.frombuffer(bytes.fromhex(sh_row["sh"].iloc[0]), dtype=np.uint64)
+                if len(sh_row) else np.empty(0, dtype=np.uint64))
+        jac = [
+            _jaccard_sorted(np.frombuffer(bytes.fromhex(sa), dtype=np.uint64), sh_b)
+            for sa in prs["sh"]
+        ]
+        out = pd.DataFrame({
+            "doc_a": prs["doc_a"].astype("int64").to_numpy(),
+            "doc_b": prs["doc_b"].astype("int64").to_numpy(),
+            "jaccard": np.asarray(jac, dtype="float64"),
+        })
+        return out[out["jaccard"] >= threshold]
+
+    verified = (
+        sh_ds.union(hop1)
+        .groupby("key")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()          # final verified pairs only — output-sized
+    )
+    if verified.empty:
+        return empty
+    return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+# bit order matching np.unpackbits over the little-endian uint64 bytes:
+# position i reads bit (byte i//8, in-byte bit 7 - i%8) of the hash
+_SIMHASH_SHIFTS = np.array(
+    [(i // 8) * 8 + (7 - i % 8) for i in range(64)], dtype=np.uint64
+)
+
 
 def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = hash_u64(w)
-        bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-        acc += bits.astype(np.int64) * 2 - 1
-    val = 0
-    for bit in (acc > 0).astype(int):
-        val = (val << 1) | int(bit)
+    words = text.split()
+    if not words:
+        return 0
+    hs = np.fromiter((hash_u64(w) for w in words), dtype=np.uint64, count=len(words))
+    # (n_words, 64) bit matrix in one vectorized shift — no per-word Python loop
+    bits = ((hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = bits.sum(axis=0) * 2 - len(words)
+    packed = np.packbits((acc > 0))
+    val = int.from_bytes(packed.tobytes(), "big")
     return int(np.int64(np.uint64(val)))
 
 
@@ -164,7 +259,9 @@ def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 class HyperplaneLSH:
-    """embeddings batch → (vec_id, bucket) rows using seeded hyperplanes."""
+    """embeddings batch → (vec_id, bucket, embedding) rows using seeded
+    hyperplanes; the embedding travels with the row to its single bucket so
+    the verify can run inside the bucket group (one shuffle, no re-join)."""
 
     def __init__(self, dim: int = 64, nbits: int = 12, seed: int = 11):
         rng = np.random.default_rng(seed)
@@ -175,32 +272,47 @@ class HyperplaneLSH:
         signs = (mat @ self.planes.T) > 0
         buckets = np.packbits(signs, axis=1)[:, :2]
         keys = [int.from_bytes(row.tobytes(), "little") for row in buckets]
-        return pd.DataFrame({"vec_id": batch["vec_id"], "bucket": keys})
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"], "bucket": keys,
+            "embedding": batch["embedding"],
+        })
 
 
 def embedding_neardup_pairs(emb_ds, *, threshold=0.95, nbits=12, concurrency=2):
-    """LSH-bucketed candidates → exact cosine verify (pairs vec_a < vec_b)."""
+    """LSH-bucketed candidates → exact cosine verify (pairs vec_a < vec_b).
+
+    Distributed end-to-end: each embedding is shuffled once to its bucket
+    (``groupby("bucket")``) and the within-bucket verify is a vectorized
+    Gram-matrix cosine inside ``map_groups`` — no driver-side embedding
+    dict, no per-pair Python loop. The driver receives only the verified
+    pairs.
+    """
     first = emb_ds.take(1)[0]
     dim = len(first["embedding"])
-    buckets = emb_ds.map_batches(
+    with_bucket = emb_ds.map_batches(
         HyperplaneLSH, fn_constructor_kwargs={"dim": dim, "nbits": nbits},
         batch_format="pandas", concurrency=concurrency,
-    ).to_pandas()
-    vecs = {}
-    for b in emb_ds.iter_batches(batch_size=4096, batch_format="pandas"):
-        for vid, e in zip(b["vec_id"], b["embedding"]):
-            vecs[vid] = np.asarray(e, dtype=np.float64)
-    rows = []
-    for _bucket, group in buckets.groupby("bucket"):
-        ids = sorted(group["vec_id"])
-        for i in range(len(ids)):
-            vi = vecs[ids[i]]
-            ni = np.linalg.norm(vi)
-            for j in range(i + 1, len(ids)):
-                vj = vecs[ids[j]]
-                sim = float(vi @ vj / (ni * np.linalg.norm(vj) + 1e-12))
-                if sim >= threshold:
-                    rows.append((ids[i], ids[j], round(sim, 6)))
-    return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"]).sort_values(
-        ["vec_a", "vec_b"]
-    ).reset_index(drop=True)
+    )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.asarray([int(v) for v in group["vec_id"]], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack(group["embedding"].to_numpy())[order].astype(np.float64)
+        n = np.linalg.norm(M, axis=1)
+        sims = (M @ M.T) / (np.outer(n, n) + 1e-12)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        vals = sims[ia, ib]
+        mask = vals >= threshold
+        return pd.DataFrame({
+            "vec_a": ids[ia[mask]],
+            "vec_b": ids[ib[mask]],
+            "cosine": np.round(vals[mask], 6),
+        })
+
+    pairs = with_bucket.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -25,11 +25,14 @@ class FilterShard:
         self.filter = CuckooFilter(capacity)
 
     def check_and_add(self, hashes: list[int]) -> list[bool]:
-        """For each hash (in order): True if new (now recorded)."""
-        return [self.filter.check_and_add(int(h)) for h in hashes]
+        """For each hash (in order): True if new (now recorded).
+        Vectorized numpy probe (filters.check_and_add_many) under the hood."""
+        return self.filter.check_and_add_many(
+            np.asarray(hashes, dtype=np.uint64)
+        ).tolist()
 
     def contains(self, hashes: list[int]) -> list[bool]:
-        return [self.filter.contains(int(h)) for h in hashes]
+        return self.filter.contains_many(np.asarray(hashes, dtype=np.uint64)).tolist()
 
     def size(self) -> int:
         return self.filter.count

@@ -95,6 +95,39 @@ class CuckooFilter:
             raise RuntimeError("cuckoo filter full; resize the shard")
         return True
 
+    # -- vectorized batch probes ------------------------------------------
+    def contains_many(self, hs: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe: one table gather instead of a Python
+        loop (the hot path of the crawl's cross-wave dedupe RPC)."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        if hs.size == 0:
+            return np.zeros(0, dtype=bool)
+        fp = ((hs >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == _EMPTY] = 1
+        i1 = (hs & np.uint64(self.nbuckets - 1)).astype(np.int64)
+        i2 = (i1 ^ (fp.astype(np.int64) * 0x5BD1E995)) & (self.nbuckets - 1)
+        hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def check_and_add_many(self, hs: np.ndarray) -> np.ndarray:
+        """Batch check_and_add: vectorized contains pre-pass (the common
+        rejection path at steady state), Python insert loop only over the
+        genuinely-new survivors (eviction chains aren't vectorizable)."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        out = np.zeros(len(hs), dtype=bool)
+        known = self.contains_many(hs)
+        local: set[int] = set()
+        for idx in np.flatnonzero(~known):
+            h = int(hs[idx])
+            if h in local:
+                continue
+            local.add(h)
+            if not self.add(h):
+                raise RuntimeError("cuckoo filter full; resize the shard")
+            out[idx] = True
+        return out
+
     # -- checkpoint pages --------------------------------------------------
     def serialize(self) -> bytes:
         return (
@@ -151,6 +184,35 @@ class BloomFilter:
             return False
         self.add(h)
         return True
+
+    def _positions_many(self, hs: np.ndarray) -> np.ndarray:
+        h1 = hs.astype(np.uint64)
+        h2 = ((h1 >> np.uint64(32)) | (h1 << np.uint64(32)))
+        i = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + i[None, :] * h2[:, None] + (i * i)[None, :]) % np.uint64(self.nbits)
+
+    def contains_many(self, hs: np.ndarray) -> np.ndarray:
+        hs = np.asarray(hs, dtype=np.uint64)
+        if hs.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_many(hs)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return ((self.bits[byte_idx] & bit) != 0).all(axis=1)
+
+    def check_and_add_many(self, hs: np.ndarray) -> np.ndarray:
+        hs = np.asarray(hs, dtype=np.uint64)
+        out = np.zeros(len(hs), dtype=bool)
+        known = self.contains_many(hs)
+        local: set[int] = set()
+        for idx in np.flatnonzero(~known):
+            h = int(hs[idx])
+            if h in local:
+                continue
+            local.add(h)
+            self.add(h)
+            out[idx] = True
+        return out
 
     def serialize(self) -> bytes:
         return self.MAGIC + struct.pack("<QQ", self.nbits, self.count) + self.bits.tobytes()

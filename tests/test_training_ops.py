@@ -165,3 +165,67 @@ def test_windows_and_asof():
 
     tk = topk_per_shard(rd.from_pandas(ev), num_shards=2, k=1)
     assert set(tk["rank"]) == {1}
+
+
+def test_filter_vectorized_matches_scalar():
+    """contains_many/check_and_add_many == the scalar path (same inputs,
+    including intra-batch duplicates)."""
+    from akf_cdparser_ray.state.filters import BloomFilter, CuckooFilter
+
+    hs = np.array(
+        [dedup_text.hash_u64(f"u{i % 700}") for i in range(1000)], dtype=np.uint64
+    )  # 300 intra-batch dups
+    for cls in (CuckooFilter, BloomFilter):
+        fv, fs = cls(capacity=4096), cls(capacity=4096)
+        got = fv.check_and_add_many(hs)
+        want = np.array([fs.check_and_add(int(h)) for h in hs])
+        assert (got == want).all(), cls.__name__
+        assert (fv.contains_many(hs) == np.array([fs.contains(int(h)) for h in hs])).all()
+        # second pass: everything seen
+        assert not fv.check_and_add_many(hs).any()
+
+
+def test_simhash_vectorized_bit_order():
+    """The vectorized simhash keeps the original unpackbits bit order
+    (locks the round-1 values)."""
+    assert dedup_text.simhash64("") == 0
+    h = dedup_text.simhash64("alpha beta gamma delta epsilon zeta eta theta")
+    assert h == 5766517512811777156  # round-1 golden
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phash_dataset_path_matches_exact_scan():
+    """The banded Dataset path finds exactly the pairs an O(n²) exact scan
+    finds, for max_hamming <= bands-1 (the banding recall guarantee)."""
+    rng = np.random.default_rng(5)
+    phs = rng.integers(0, 2**63, size=40, dtype=np.int64)
+    # plant near-dups at Hamming 1..3
+    phs[10] = phs[0] ^ 1
+    phs[11] = phs[1] ^ 0b101
+    phs[12] = phs[2] ^ (1 << 40)
+    df = pd.DataFrame({"image_id": [f"i{k:02d}" for k in range(40)], "phash": phs})
+    got = dedup_images.phash_neardup_pairs(df, max_hamming=3, bands=4)
+    # exact reference scan
+    exact = []
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            d = im.hamming64(int(phs[i]), int(phs[j]))
+            if d <= 3:
+                a, b = sorted((f"i{i:02d}", f"i{j:02d}"))
+                exact.append((a, b, d))
+    assert sorted(zip(got["image_a"], got["image_b"], got["hamming"])) == sorted(exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_distributed():
+    """Planted high-cosine pair is found; verify runs inside bucket groups."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.dedup_text import embedding_neardup_pairs
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[30] = vecs[3] + rng.standard_normal(16).astype(np.float32) * 0.01
+    df = pd.DataFrame({"vec_id": range(60), "embedding": list(vecs)})
+    out = embedding_neardup_pairs(rd.from_pandas(df), threshold=0.98, nbits=4, concurrency=1)
+    assert (3, 30) in set(zip(out["vec_a"], out["vec_b"]))
