@@ -24,7 +24,14 @@ SF0001 = "/root/testdata/sf0.001"
 def _ship_package_by_value() -> None:
     """Ray workers don't inherit the driver's sys.path; register the whole
     package for cloudpickle by-value so actor classes deserialize anywhere
-    (no runtime_env, no install step)."""
+    (no runtime_env, no install step).
+
+    Set AKF_PICKLE_BY_VALUE=0 to skip when workers can plain-import the
+    package (PYTHONPATH/cwd = repo root, as bench.py arranges): by-value
+    deserialization of the whole package costs each fresh worker process
+    ~0.2 s, which dominates cold-start for fleets of small tasks."""
+    if os.environ.get("AKF_PICKLE_BY_VALUE", "1") == "0":
+        return
     import importlib
     import pkgutil
 

@@ -1,25 +1,35 @@
 """The crawl loop (SURVEY.md §3.1 engine shape; BASELINE.json north rule).
 
-One crawl step (wave) is a streaming ray.data pipeline:
+One crawl step (wave) is a streaming ray.data pipeline over a sharded,
+actor-owned frontier:
 
-    frontier dequeue (per-shard priority top-k, tie-broken on url)
+    frontier dequeue (per-shard priority top-k from the FrontierShard
+      actors — LSM-run merge, never a full sort)
       → politeness/robots gate (host-hash-pinned shard actors, hot-host salting)
-      → fetch (synthetic, actor pool, num_cpus<1)
-      → parse (dictionary actor pool) → image+caption pairs partition
-      → link extraction → cuckoo-dedupe (url_hash-sharded filter actors)
-      → frontier re-enqueue
+      → fetch (synthetic) → parse (dictionary cache) → image+caption pairs
+        partition (worker-side fragment writes)
+      → link extraction → explicit hash-partitioned exchange: each task
+        offers its links straight to the owning FrontierShard
+        (``url_hash % S``), which cuckoo-dedupes and min-merges them
+      → frontier re-enqueue inside the shards at wave end
 
-Checkpointed per wave (frontier + filter pages + politeness buckets +
-counters + lineage) so a killed job resumes exactly; dequeue order is a pure
-function of (priority, url, wave) so the same seeds + budget replay to the
-identical trace (replay invariant).
+The frontier priority queue and the URL-seen cuckoo page for each hash
+shard live together in one ``FrontierShard`` actor (stages/dedupe.py) — the
+sharded priority queue of the north rule. Per-wave frontier operations are
+warm actor RPCs; the only driver-held frontier data is the ≤ k·S dequeued
+rows per wave (bounded by config, not by data) and per-wave counters. Links
+never reach the driver.
 
-Scale notes: the frontier and per-wave candidate tables here are driver-side
-pandas because the test corpus is tiny; every operation on them is written
-as sort/groupby/merge so the 10^10-URL version swaps pandas for the
-equivalent Dataset ops (per-shard ``groupby(shard).map_groups(topk)`` etc.)
-without changing semantics. Content-bearing stages (fetch/parse/links) are
-Ray Data pipelines already, and image bytes never enter a shuffle.
+Checkpoints are per wave: each shard actor writes its own frontier parquet
++ filter page (worker-side, parallel), the driver writes the politeness
+states, this wave's counter, this wave's trace segment and lineage, then a
+``_COMPLETE`` marker last — so a killed job resumes exactly. Dequeue order
+is a pure function of (priority, url, wave), so the same seeds + budget
+replay to the identical trace (replay invariant). Checkpoint payload is
+O(frontier/S per shard, written in parallel) + O(wave) driver metadata;
+nothing driver-held is re-serialized in full (the in-memory trace list
+exists only to answer ``summary()``; disable with ``keep_trace=False`` for
+unbounded runs).
 """
 
 from __future__ import annotations
@@ -31,17 +41,20 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
 from ..sources import io as aio
 from ..stages.cached import cached_fetch_batch, cached_parse_batch
 from ..stages.dedupe import ShardedSeenSet
+from ..stages.frontier import (
+    FRONTIER_COLS,
+    FRONTIER_SCHEMA,
+    empty_frontier_table as _empty_frontier_table,
+    sorted_frontier_table as _sorted_frontier_table,
+)
 from ..stages.links import canonicalize_url, extract_links_batch, host_of, url_hash64
 from ..stages.politeness_stage import PolitenessShard, host_shard
-
-FRONTIER_COLS = ["url_canon", "url_hash", "host", "priority", "depth", "discovered_at"]
 
 
 @dataclass
@@ -61,6 +74,7 @@ class CrawlConfig:
     fetch_concurrency: int | tuple = 2
     batch_size: int = 32
     seed: int = 42
+    keep_trace: bool = True        # in-memory trace for summary(); segments on disk either way
 
 
 def _seed_frontier(cfg: CrawlConfig) -> pd.DataFrame:
@@ -81,35 +95,57 @@ def _seed_frontier(cfg: CrawlConfig) -> pd.DataFrame:
     return df.drop_duplicates("url_hash").reset_index(drop=True)
 
 
+_CTR_KEYS = [
+    "dequeued", "allowed", "deferred", "robots_denied", "fetched", "http_404",
+    "parsed_ok", "parse_err", "links", "links_new", "pairs_rows",
+]
+
+
 class CrawlJob:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
         self.seen = ShardedSeenSet(cfg.num_shards, cfg.filter_capacity)
         self.gates = [PolitenessShard.remote(cfg.budgets) for _ in range(cfg.num_politeness_shards)]
-        self.frontier = pd.DataFrame(columns=FRONTIER_COLS)
         self.wave = 0
         self.counters: list[dict] = []
         self.trace: list[tuple[int, int, str]] = []  # (wave, seq, url)
+        self.trace_len = 0
+        self.frontier_rows = 0
 
+    # ------------------------------------------------------------------
+    # checkpoint layout
     # ------------------------------------------------------------------
     def _checkpoint_dir(self, wave: int) -> str:
         return os.path.join(self.cfg.out_dir, "checkpoint", f"wave{wave:03d}")
 
-    def checkpoint(self) -> None:
+    def _frontier_path(self, wave: int, shard: int) -> str:
+        return os.path.join(self._checkpoint_dir(wave), "frontier", f"shard{shard}.parquet")
+
+    def _filter_path(self, wave: int, shard: int) -> str:
+        return os.path.join(self._checkpoint_dir(wave), "filters", f"shard{shard}.page")
+
+    def checkpoint(self, wave_counter: dict | None, wave_trace: list) -> list[int]:
+        """Per-wave checkpoint: every FrontierShard writes its own frontier
+        parquet + filter page in parallel (worker-side); the driver writes
+        only O(wave) metadata. ``_COMPLETE`` marker last."""
         d = self._checkpoint_dir(self.wave)
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(self.frontier, preserve_index=False),
-                       os.path.join(d, "frontier.parquet"))
-        fdir = os.path.join(d, "filters")
-        os.makedirs(fdir, exist_ok=True)
-        for i, page in enumerate(self.seen.serialize_pages()):
-            with open(os.path.join(fdir, f"shard{i}.page"), "wb") as f:
-                f.write(page)
+        os.makedirs(os.path.join(d, "frontier"), exist_ok=True)
+        os.makedirs(os.path.join(d, "filters"), exist_ok=True)
+        shard_rows = ray.get([
+            sh.checkpoint.remote(
+                self._frontier_path(self.wave, s), self._filter_path(self.wave, s)
+            )
+            for s, sh in enumerate(self.seen.shards)
+        ])
+        self.frontier_rows = sum(shard_rows)
         gate_states = ray.get([g.serialize.remote() for g in self.gates])
+        with open(os.path.join(d, "trace.json"), "w") as f:
+            json.dump(wave_trace, f)
         meta = {
             "wave": self.wave,
-            "counters": self.counters,
-            "trace": self.trace,
+            "counter": wave_counter,
+            "trace_len": self.trace_len,
+            "frontier_rows": shard_rows,
             "gates": gate_states,
             "lineage": {
                 "num_shards": self.cfg.num_shards,
@@ -124,6 +160,7 @@ class CrawlJob:
         # completion marker LAST: a checkpoint without it is ignored on resume
         with open(os.path.join(d, "_COMPLETE"), "w") as f:
             f.write("ok")
+        return shard_rows
 
     def resume(self) -> bool:
         root = os.path.join(self.cfg.out_dir, "checkpoint")
@@ -135,106 +172,50 @@ class CrawlJob:
         )
         if not waves:
             return False
-        d = os.path.join(root, waves[-1])
-        self.frontier = pq.read_table(os.path.join(d, "frontier.parquet")).to_pandas()
-        self.frontier["url_hash"] = self.frontier["url_hash"].astype(np.uint64)
-        pages = []
-        fdir = os.path.join(d, "filters")
-        for i in range(self.cfg.num_shards):
-            with open(os.path.join(fdir, f"shard{i}.page"), "rb") as f:
-                pages.append(f.read())
-        self.seen.restore_pages(pages)
-        with open(os.path.join(d, "meta.json")) as f:
+        with open(os.path.join(root, waves[-1], "meta.json")) as f:
             meta = json.load(f)
         self.wave = meta["wave"]
-        self.counters = meta["counters"]
-        self.trace = [tuple(t) for t in meta["trace"]]
+        self.trace_len = meta["trace_len"]
+        self.frontier_rows = sum(meta["frontier_rows"])
+        ray.get([
+            sh.restore.remote(
+                self._frontier_path(self.wave, s), self._filter_path(self.wave, s)
+            )
+            for s, sh in enumerate(self.seen.shards)
+        ])
         for g, state in zip(self.gates, meta["gates"]):
             ray.get(g.restore.remote(state))
+        # rebuild counters + trace from the per-wave segments (O(total trace)
+        # once at resume, never per wave)
+        self.counters = []
+        self.trace = []
+        for w in waves:
+            wd = os.path.join(root, w)
+            with open(os.path.join(wd, "meta.json")) as f:
+                wmeta = json.load(f)
+            if wmeta["counter"] is not None:
+                self.counters.append(wmeta["counter"])
+            if self.cfg.keep_trace:
+                with open(os.path.join(wd, "trace.json")) as f:
+                    self.trace.extend(tuple(t) for t in json.load(f))
         return True
 
     # ------------------------------------------------------------------
-    def _enqueue_new(self, cand: pd.DataFrame, wave: int) -> int:
-        """Cross-wave dedupe through the sharded cuckoo filters, then append
-        the survivors to the frontier. Within-batch dedupe first (exact)."""
-        if cand.empty:
-            return 0
-        cand = (
-            cand.sort_values(["url_hash", "url_canon"])
-            .drop_duplicates("url_hash")
-            .reset_index(drop=True)
-        )
-        is_new = self.seen.check_and_add(cand["url_hash"].to_numpy(dtype=np.uint64))
-        new = cand[is_new].copy()
-        if new.empty:
-            return 0
-        new["priority"] = np.maximum(1, 100 - 10 * new["depth"].to_numpy()).astype("int64")
-        new["discovered_at"] = wave
-        self.frontier = pd.concat(
-            [self.frontier, new[FRONTIER_COLS]], ignore_index=True
-        )
-        return len(new)
-
-    # frontiers above this size dequeue through the distributed path
-    DATASET_DEQUEUE_THRESHOLD = 50_000
-
+    # wave stages
+    # ------------------------------------------------------------------
     def _dequeue(self, k: int) -> pd.DataFrame:
-        """Per-shard priority top-k with deterministic tie-breaks.
-
-        Small frontiers use pandas driver-side; large ones the equivalent
-        ``ds.groupby(shard).map_groups(topk)`` — never a global sort. Both
-        paths produce identical results (tested)."""
-        if self.frontier.empty:
-            return self.frontier
-        if len(self.frontier) > self.DATASET_DEQUEUE_THRESHOLD:
-            return self._dequeue_dataset(k)
-        return self._dequeue_pandas(k)
-
-    def _dequeue_pandas(self, k: int) -> pd.DataFrame:
-        f = self.frontier.copy()
-        f["shard"] = (f["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(self.cfg.num_shards)).astype("int64")
-        f = f.sort_values(["shard", "priority", "url_canon"], ascending=[True, False, True])
-        dequeued = f.groupby("shard", sort=True).head(k)
-        self.frontier = (
-            f.drop(dequeued.index).drop(columns=["shard"]).reset_index(drop=True)
-        )
-        return dequeued.drop(columns=["shard"]).reset_index(drop=True)
-
-    def _dequeue_dataset(self, k: int) -> pd.DataFrame:
-        """Distributed per-shard top-k dequeue (the 10^10-URL path)."""
-        num_shards = self.cfg.num_shards
-        f = self.frontier.copy()
-        f["shard"] = (
-            f["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(num_shards)
-        ).astype("int64")
-        ds = rd.from_pandas(f)
-
-        def topk(group: pd.DataFrame) -> pd.DataFrame:
-            g = group.sort_values(["priority", "url_canon"], ascending=[False, True])
-            g = g.copy()
-            g["dequeued"] = [i < k for i in range(len(g))]
-            return g
-
-        marked = (
-            ds.groupby("shard").map_groups(topk, batch_format="pandas").to_pandas()
-        )
-        marked["url_hash"] = marked["url_hash"].astype(np.uint64)
-        dequeued = marked[marked["dequeued"]]
-        remaining = marked[~marked["dequeued"]]
-        self.frontier = (
-            remaining.drop(columns=["shard", "dequeued"]).reset_index(drop=True)
-        )
-        # deterministic order for the trace regardless of group arrival order
-        return (
-            dequeued.drop(columns=["dequeued"])
-            .sort_values(["shard", "priority", "url_canon"], ascending=[True, False, True])
-            .drop(columns=["shard"])
-            .reset_index(drop=True)
-        )
+        """Per-shard priority top-k: one warm RPC per FrontierShard. Only
+        k·S rows reach the driver."""
+        parts = ray.get([sh.dequeue.remote(k) for sh in self.seen.shards])
+        dequeued = pa.concat_tables(parts).to_pandas()
+        if len(dequeued):
+            dequeued["url_hash"] = dequeued["url_hash"].astype(np.uint64)
+        return dequeued.reset_index(drop=True)
 
     def _gate(self, cand: pd.DataFrame, wave: int) -> pd.DataFrame:
         """Politeness + robots via the host-hash-pinned shard actors."""
         if cand.empty:
+            cand = cand.copy()
             cand["decision"] = pd.Series(dtype=str)
             return cand
         share = cand["host"].value_counts(normalize=True)
@@ -270,148 +251,162 @@ class CrawlJob:
         cfg = self.cfg
         self.wave += 1
         wave = self.wave
-        ctr = {
-            "wave": wave, "dequeued": 0, "allowed": 0, "deferred": 0,
-            "robots_denied": 0, "fetched": 0, "http_404": 0, "parsed_ok": 0,
-            "parse_err": 0, "links": 0, "links_new": 0, "pairs_rows": 0,
-        }
+        ctr = {"wave": wave, **{k: 0 for k in _CTR_KEYS}}
 
         dequeued = self._dequeue(cfg.dequeue_k)
         ctr["dequeued"] = len(dequeued)
-        if dequeued.empty:
-            self.counters.append(ctr)
-            self.checkpoint()
-            return ctr
+        wave_trace: list[tuple[int, int, str]] = []
 
-        gated = self._gate(dequeued, wave)
-        allowed = gated[gated["decision"] == "allow"]
-        deferred = gated[gated["decision"] == "defer"]
-        ctr["allowed"] = len(allowed)
-        ctr["deferred"] = len(deferred)
-        ctr["robots_denied"] = int((gated["decision"] == "robots").sum())
+        if not dequeued.empty:
+            gated = self._gate(dequeued, wave)
+            allowed = gated[gated["decision"] == "allow"]
+            deferred = gated[gated["decision"] == "defer"]
+            ctr["allowed"] = len(allowed)
+            ctr["deferred"] = len(deferred)
+            ctr["robots_denied"] = int((gated["decision"] == "robots").sum())
 
-        # deferred URLs go back to the frontier untouched
-        if not deferred.empty:
-            self.frontier = pd.concat(
-                [self.frontier, deferred[FRONTIER_COLS]], ignore_index=True
-            )
+            # deterministic fetch order trace (replay check)
+            allowed = allowed.sort_values(
+                ["priority", "url_canon"], ascending=[False, True]
+            ).reset_index(drop=True)
+            base_seq = self.trace_len
+            for seq, url in enumerate(allowed["url_canon"]):
+                wave_trace.append((wave, base_seq + seq, url))
+            self.trace_len += len(wave_trace)
+            if cfg.keep_trace:
+                self.trace.extend(wave_trace)
 
-        # deterministic fetch order trace (replay check)
-        allowed = allowed.sort_values(
-            ["priority", "url_canon"], ascending=[False, True]
-        ).reset_index(drop=True)
-        base_seq = len(self.trace)
-        for seq, url in enumerate(allowed["url_canon"]):
-            self.trace.append((wave, base_seq + seq, url))
-
-        if not allowed.empty:
-            # fetch → parse → pairs + links: one streaming Dataset pass.
-            # Task-based stages with per-process cached state fuse into one
-            # operator and persist caches across waves (actor pools would be
-            # torn down and rebuilt every wave).
-            # ONE fused pipeline pass per wave: fetch → parse → link-extract
-            # in the same task, with each task WRITING its pairs fragment
-            # directly (image payloads never travel to the driver); only
-            # links + counters come back. Fragment names are content-derived
-            # so reruns are idempotent; the driver atomically promotes the
-            # fragment dir at checkpoint (finalize_partition).
-            fetch_fn = cached_fetch_batch(cfg.corpus_size, cfg.seed)
-            parse_fn = cached_parse_batch()
-            pairs_root = os.path.join(cfg.out_dir, "pairs")
-            tmpdir = os.path.join(pairs_root, f".wave{wave:03d}.building")
-            os.makedirs(tmpdir, exist_ok=True)
-
-            def fetch_parse_links(batch: pa.Table) -> pa.Table:
-                import hashlib as _hashlib
-                import json as _json
-
-                import pyarrow.parquet as _pq
-
-                fetched_b = fetch_fn(batch)
-                mask = [s == "200" for s in fetched_b.column("fetch_status").to_pylist()]
-                ok_b = fetched_b.filter(pa.array(mask))
-                parsed_b = parse_fn(ok_b)
-                pairs_b = parsed_b.select(
-                    ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "status"]
+            if not allowed.empty:
+                totals = self._fetch_parse_enqueue(allowed, wave)
+                for key in ("fetched", "http_404", "pairs_rows", "parsed_ok",
+                            "parse_err", "links", "links_new"):
+                    ctr[key] = int(totals[key])
+                # atomically promote the worker-written pairs fragments
+                aio.finalize_partition(
+                    os.path.join(cfg.out_dir, "pairs"),
+                    f"wave{wave:03d}",
+                    os.path.join(cfg.out_dir, "pairs", f".wave{wave:03d}.building"),
+                    rows=ctr["pairs_rows"],
+                    lineage={
+                        "wave": wave,
+                        "urls": len(allowed),
+                        "num_shards": cfg.num_shards,
+                    },
                 )
-                if pairs_b.num_rows:
-                    name = _hashlib.blake2b(
-                        "|".join(batch.column("url_canon").to_pylist()).encode(),
-                        digest_size=8,
-                    ).hexdigest()
-                    _pq.write_table(pairs_b, os.path.join(tmpdir, f"part-{name}.parquet"))
-                links_b = extract_links_batch(ok_b)
-                statuses = parsed_b.column("status").to_pylist()
-                summary = _json.dumps(
-                    {
-                        "fetched": int(sum(mask)),
-                        "http_404": int(len(mask) - sum(mask)),
-                        "pairs_rows": pairs_b.num_rows,
-                        "parsed_ok": statuses.count("ok"),
-                        "parse_err": statuses.count("error"),
-                        "links": {
-                            "url_canon": links_b.column("url_canon").to_pylist(),
-                            "url_hash": [int(h) for h in links_b.column("url_hash").to_pylist()],
-                            "host": links_b.column("host").to_pylist(),
-                            "depth": links_b.column("depth").to_pylist(),
-                        },
-                    }
-                )
-                return pa.table({"summary": pa.array([summary], pa.string())})
 
-            # from_pandas(df) yields ONE block = one task; split the wave
-            # into batch-sized chunks so it fans out across the cluster
-            work = allowed[["url_canon", "depth"]].reset_index(drop=True)
-            chunks = [
-                work.iloc[i: i + cfg.batch_size]
-                for i in range(0, len(work), cfg.batch_size)
-            ]
-            ds = rd.from_pandas(chunks)
-            result = ds.map_batches(
-                fetch_parse_links,
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                num_cpus=1,
-            ).to_pandas()
-
-            import json as _json
-
-            link_frames = []
-            for blob in result["summary"]:
-                meta = _json.loads(blob)
-                ctr["fetched"] += meta["fetched"]
-                ctr["http_404"] += meta["http_404"]
-                ctr["pairs_rows"] += meta["pairs_rows"]
-                ctr["parsed_ok"] += meta["parsed_ok"]
-                ctr["parse_err"] += meta["parse_err"]
-                if meta["links"]["url_canon"]:
-                    link_frames.append(pd.DataFrame(meta["links"]))
-
-            aio.finalize_partition(
-                pairs_root,
-                f"wave{wave:03d}",
-                tmpdir,
-                rows=ctr["pairs_rows"],
-                lineage={
-                    "wave": wave,
-                    "urls": len(allowed),
-                    "num_shards": cfg.num_shards,
-                },
-            )
-
-            links = (
-                pd.concat(link_frames, ignore_index=True)
-                if link_frames
-                else pd.DataFrame(columns=["url_canon", "url_hash", "host", "depth"])
-            )
-            ctr["links"] = len(links)
-            if not links.empty:
-                links["url_hash"] = links["url_hash"].astype(np.uint64)
-                ctr["links_new"] = self._enqueue_new(links, wave)
+            # deferred URLs go back to their shard's queue untouched
+            if len(deferred):
+                d = deferred.copy()
+                shard_ids = (
+                    d["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(cfg.num_shards)
+                ).astype("int64")
+                acks = []
+                for s in range(cfg.num_shards):
+                    sel = d[shard_ids == s]
+                    if len(sel):
+                        acks.append(
+                            self.seen.shards[s].defer.remote(
+                                sel[FRONTIER_COLS].reset_index(drop=True)
+                            )
+                        )
+                ray.get(acks)
 
         self.counters.append(ctr)
-        self.checkpoint()
+        self.checkpoint(ctr, wave_trace)
         return ctr
+
+    def _fetch_parse_enqueue(self, allowed: pd.DataFrame, wave: int) -> dict:
+        """ONE streaming Dataset pass per wave: fetch → parse → pairs
+        fragment write → link extract (fused task-based stages with
+        per-process cached state). Each task partitions its links by
+        ``url_hash % S`` and offers them straight to the owning
+        FrontierShard actor — the RPC is the explicit hash-partitioned
+        exchange, moving only (canon, hash, host, depth) projections. The
+        shards min-merge concurrent offers (order-independent, replay-safe)
+        and enqueue the survivors at the wave-end flush. Tasks return one
+        counter row each; links never reach the driver."""
+        cfg = self.cfg
+        fetch_fn = cached_fetch_batch(cfg.corpus_size, cfg.seed)
+        parse_fn = cached_parse_batch()
+        pairs_root = os.path.join(cfg.out_dir, "pairs")
+        pairs_tmp = os.path.join(pairs_root, f".wave{wave:03d}.building")
+        os.makedirs(pairs_tmp, exist_ok=True)
+        num_shards = cfg.num_shards
+        filter_shards = self.seen.shards
+
+        def fetch_parse_links(batch: pa.Table) -> pa.Table:
+            import hashlib as _hashlib
+
+            import pyarrow.parquet as _pq
+
+            fetched_b = fetch_fn(batch)
+            mask = [s == "200" for s in fetched_b.column("fetch_status").to_pylist()]
+            ok_b = fetched_b.filter(pa.array(mask))
+            parsed_b = parse_fn(ok_b)
+            pairs_b = parsed_b.select(
+                ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "status"]
+            )
+            if pairs_b.num_rows:
+                name = _hashlib.blake2b(
+                    "|".join(batch.column("url_canon").to_pylist()).encode(),
+                    digest_size=8,
+                ).hexdigest()
+                _pq.write_table(pairs_b, os.path.join(pairs_tmp, f"part-{name}.parquet"))
+            links_b = extract_links_batch(ok_b)
+            statuses = parsed_b.column("status").to_pylist()
+            # offer links to their hash shard (fire, then ack before returning
+            # so Dataset completion implies every offer has landed)
+            if links_b.num_rows:
+                hashes = links_b.column("url_hash").to_numpy(zero_copy_only=False)
+                shard = (hashes % np.uint64(num_shards)).astype(np.int64)
+                canons = links_b.column("url_canon").to_pylist()
+                hosts = links_b.column("host").to_pylist()
+                depths = links_b.column("depth").to_pylist()
+                acks = []
+                for s in np.unique(shard):
+                    idx = np.flatnonzero(shard == s)
+                    acks.append(
+                        filter_shards[int(s)].offer.remote(
+                            [canons[i] for i in idx],
+                            hashes[idx].tolist(),
+                            [hosts[i] for i in idx],
+                            [int(depths[i]) for i in idx],
+                        )
+                    )
+                ray.get(acks)
+            return pa.table(
+                {
+                    "fetched": pa.array([int(sum(mask))], pa.int64()),
+                    "http_404": pa.array([int(len(mask) - sum(mask))], pa.int64()),
+                    "pairs_rows": pa.array([pairs_b.num_rows], pa.int64()),
+                    "parsed_ok": pa.array([statuses.count("ok")], pa.int64()),
+                    "parse_err": pa.array([statuses.count("error")], pa.int64()),
+                }
+            )
+
+        # from_pandas(df) yields ONE block = one task; split the wave into
+        # batch-sized chunks so it fans out across the cluster
+        work = allowed[["url_canon", "depth"]].reset_index(drop=True)
+        chunks = [
+            work.iloc[i: i + cfg.batch_size]
+            for i in range(0, len(work), cfg.batch_size)
+        ]
+        ds = rd.from_pandas(chunks)
+        counters = ds.map_batches(
+            fetch_parse_links,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            num_cpus=1,
+        ).to_pandas()  # one tiny counter row per task
+
+        # wave-end: every shard merges its survivors into the queue
+        flushed = ray.get([
+            filter_shards[s].enqueue_flush.remote(wave) for s in range(num_shards)
+        ])
+        totals = counters.sum().to_dict()
+        totals["links"] = sum(f[0] for f in flushed)
+        totals["links_new"] = sum(f[1] for f in flushed)
+        return totals
 
     def run(self, resume: bool = False) -> dict:
         if resume and self.resume():
@@ -420,9 +415,20 @@ class CrawlJob:
             seeds = _seed_frontier(self.cfg)
             # seeds enter the seen-set immediately (enqueue-once semantics)
             is_new = self.seen.check_and_add(seeds["url_hash"].to_numpy(dtype=np.uint64))
-            self.frontier = seeds[is_new].reset_index(drop=True)
+            seeds = seeds[is_new].reset_index(drop=True)
             self.wave = 0
-            self.checkpoint()
+            shard_ids = (
+                seeds["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(self.cfg.num_shards)
+            ).astype("int64")
+            acks = []
+            for s in range(self.cfg.num_shards):
+                sel = seeds[shard_ids == s]
+                if len(sel):
+                    acks.append(
+                        self.seen.shards[s].seed.remote(sel.reset_index(drop=True))
+                    )
+            ray.get(acks)
+            self.checkpoint(None, [])
         while self.wave < self.cfg.max_waves:
             ctr = self.run_wave()
             if ctr["dequeued"] == 0:
@@ -433,9 +439,9 @@ class CrawlJob:
         return {
             "waves": self.wave,
             "counters": self.counters,
-            "frontier_size": len(self.frontier),
+            "frontier_size": self.frontier_rows,
             "seen_total": self.seen.total(),
-            "trace_len": len(self.trace),
+            "trace_len": self.trace_len,
             "trace": list(self.trace),
         }
 

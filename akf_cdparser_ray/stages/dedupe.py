@@ -1,29 +1,68 @@
-"""Sharded URL-seen dedupe (SURVEY.md §2.4 J3, §2.7 D2).
+"""Sharded frontier + URL-seen dedupe (SURVEY.md §2.4 J3, §2.7 D2; the
+"sharded priority queue over canonicalized-URL hash partitions with a
+per-shard cuckoo filter" of the BASELINE.json north rule).
 
-The URL-seen set is the one piece of state the Dataset API genuinely cannot
-express (a shared mutable membership index mutated mid-pipeline), so it drops
-to raw Ray actors: one ``FilterShard`` per ``url_hash % S`` key range, each
-holding a cuckoo filter page. Candidates are routed by hash — an explicit
-hash-partitioned semi/anti-join — and each shard answers "which of these are
-new" in one message per wave (not per URL).
+The URL-seen set and the frontier priority queue are the two pieces of state
+the Dataset API genuinely cannot express (shared mutable indexes mutated
+mid-pipeline), so they drop to raw Ray actors: one ``FrontierShard`` per
+``url_hash % S`` key range, owning BOTH that range's cuckoo-filter page and
+its slice of the priority queue. Candidates are routed by hash — an explicit
+hash-partitioned exchange moving only (canon, hash, host, depth) projections
+— and every per-wave frontier operation (dequeue top-k, enqueue-merge,
+checkpoint parquet write) happens inside the warm actor, worker-side; the
+driver only ever sees the k dequeued rows and counters.
+
+Queue layout is LSM-ish: a list of sorted runs (each sorted by priority
+desc, url_canon asc). Dequeue top-k merges the run heads; each wave's new
+links append one sorted run; checkpoint compacts to a single run and writes
+it as the shard's frontier parquet. At 10^10-URL scale the compacted tail
+would live as parquet runs on disk with only the head rows resident — the
+run structure here is exactly that design with the spill threshold above the
+test corpus size.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 
 from ..state.filters import CuckooFilter, deserialize_filter
+from .frontier import FRONTIER_COLS, empty_frontier_table, sorted_frontier_table
 
 
-@ray.remote(num_cpus=0.25)
-class FilterShard:
-    """Owns the URL-seen page for one hash shard."""
+def _sort_run(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(
+        ["priority", "url_canon"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+@ray.remote(num_cpus=0.2)
+class FrontierShard:
+    """Owns one hash shard: cuckoo-filter page + frontier priority-queue
+    slice + the wave-scoped enqueue buffer.
+
+    Crawl tasks ``offer()`` candidate links straight to their shard (the RPC
+    is the explicit hash-partitioned exchange), and ``enqueue_flush()``
+    merges the wave's survivors into the queue at wave end.
+
+    Determinism under concurrent offers: a hash's pending metadata is the
+    MIN over every (depth, url_canon, host) offered this wave — a
+    commutative merge, so task arrival order cannot change the enqueued
+    rows. The cuckoo probe itself is insertion-order-independent (an entry's
+    two candidate buckets form a set closed under ``i ^ hash(fp)``, so a
+    query sees the fingerprint wherever it landed)."""
 
     def __init__(self, capacity: int = 1 << 16):
         self.filter = CuckooFilter(capacity)
+        self.pending: dict[int, tuple] = {}
+        self.offered = 0
+        self.runs: list[pd.DataFrame] = []
+        self.max_runs = 8  # compact when exceeded (amortized O(log) merges)
 
+    # -- URL-seen membership ------------------------------------------------
     def check_and_add(self, hashes: list[int]) -> list[bool]:
         """For each hash (in order): True if new (now recorded).
         Vectorized numpy probe (filters.check_and_add_many) under the hood."""
@@ -34,24 +73,153 @@ class FilterShard:
     def contains(self, hashes: list[int]) -> list[bool]:
         return self.filter.contains_many(np.asarray(hashes, dtype=np.uint64)).tolist()
 
+    # -- wave enqueue path --------------------------------------------------
+    def offer(self, canons: list[str], hashes: list[int], hosts: list[str],
+              depths: list[int]) -> int:
+        """Accept candidate links for this shard's hash range. New hashes
+        enter the filter immediately and buffer in ``pending`` with
+        min-merged metadata until ``enqueue_flush``."""
+        self.offered += len(hashes)
+        hs = np.asarray(hashes, dtype=np.uint64)
+        known = self.filter.contains_many(hs)
+        for i, h in enumerate(hs):
+            h = int(h)
+            prev = self.pending.get(h)
+            if prev is not None:
+                cand = (int(depths[i]), canons[i], hosts[i])
+                if cand < prev:
+                    self.pending[h] = cand
+            elif not known[i]:
+                self.filter.check_and_add(h)
+                self.pending[h] = (int(depths[i]), canons[i], hosts[i])
+        return len(hashes)
+
+    def enqueue_flush(self, wave: int) -> tuple[int, int]:
+        """Merge this wave's surviving links into the priority queue as one
+        sorted run; reset the wave buffers. Returns (offered, new)."""
+        links, links_new = self.offered, len(self.pending)
+        if self.pending:
+            items = sorted(self.pending.items())  # by hash: deterministic
+            depths = np.array([v[0] for _, v in items], dtype=np.int64)
+            run = pd.DataFrame(
+                {
+                    "url_canon": [v[1] for _, v in items],
+                    "url_hash": np.array([h for h, _ in items], dtype=np.uint64),
+                    "host": [v[2] for _, v in items],
+                    "priority": np.maximum(1, 100 - 10 * depths),
+                    "depth": depths,
+                    "discovered_at": np.int64(wave),
+                }
+            )
+            self._add_run(_sort_run(run))
+        self.pending = {}
+        self.offered = 0
+        return links, links_new
+
+    # -- priority queue -----------------------------------------------------
+    def _add_run(self, run: pd.DataFrame) -> None:
+        if len(run):
+            self.runs.append(run)
+        if len(self.runs) > self.max_runs:
+            self._compact()
+
+    def _compact(self) -> pd.DataFrame:
+        merged = (
+            _sort_run(pd.concat(self.runs, ignore_index=True))
+            if self.runs
+            else pd.DataFrame(columns=FRONTIER_COLS)
+        )
+        self.runs = [merged] if len(merged) else []
+        return merged
+
+    def seed(self, rows: pd.DataFrame) -> int:
+        """Initial frontier rows for this shard (seeds are pre-deduped by
+        the driver through check_and_add)."""
+        if len(rows):
+            self._add_run(_sort_run(rows[FRONTIER_COLS]))
+        return sum(len(r) for r in self.runs)
+
+    def dequeue(self, k: int) -> pa.Table:
+        """Remove and return the shard's top-k rows (priority desc, url
+        asc): merge the sorted run heads — never a full re-sort."""
+        if not self.runs or k <= 0:
+            return empty_frontier_table()
+        heads = pd.concat([r.head(k) for r in self.runs], keys=range(len(self.runs)))
+        order = heads.sort_values(
+            ["priority", "url_canon"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        taken_per_run = order.groupby(level=0).size()
+        out = order.reset_index(drop=True)
+        new_runs = []
+        for ridx, run in enumerate(self.runs):
+            n = int(taken_per_run.get(ridx, 0))
+            rest = run.iloc[n:].reset_index(drop=True) if n else run
+            if len(rest):
+                new_runs.append(rest)
+        self.runs = new_runs
+        return pa.Table.from_pandas(
+            out[FRONTIER_COLS], preserve_index=False
+        ).cast(empty_frontier_table().schema)
+
+    def defer(self, rows: pd.DataFrame) -> int:
+        """Deferred (politeness) rows go back as their own run."""
+        if len(rows):
+            self._add_run(_sort_run(rows[FRONTIER_COLS]))
+        return len(rows)
+
+    def frontier_size(self) -> int:
+        return sum(len(r) for r in self.runs)
+
+    # -- checkpoint ---------------------------------------------------------
+    def checkpoint(self, frontier_path: str, filter_path: str) -> int:
+        """Worker-side checkpoint write: compact the queue to one sorted run
+        → the shard's frontier parquet, plus the filter page. Returns the
+        shard's frontier row count."""
+        merged = self._compact()
+        pq.write_table(sorted_frontier_table(merged) if len(merged)
+                       else empty_frontier_table(), frontier_path)
+        with open(filter_path, "wb") as f:
+            f.write(self.filter.serialize())
+        return len(merged)
+
+    def restore(self, frontier_path: str, filter_path: str) -> int:
+        with open(filter_path, "rb") as f:
+            self.filter = deserialize_filter(f.read())
+        df = pq.read_table(frontier_path).to_pandas()
+        if len(df):
+            df["url_hash"] = df["url_hash"].astype(np.uint64)
+            self.runs = [df]
+        else:
+            self.runs = []
+        self.pending = {}
+        self.offered = 0
+        return self.filter.count
+
     def size(self) -> int:
         return self.filter.count
 
     def serialize(self) -> bytes:
         return self.filter.serialize()
 
-    def restore(self, page: bytes) -> int:
+    def restore_page(self, page: bytes) -> int:
         self.filter = deserialize_filter(page)
+        self.pending = {}
+        self.offered = 0
         return self.filter.count
 
 
+# backwards-compatible alias (the actor also serves as the plain URL-seen
+# filter shard outside the crawl loop)
+FilterShard = FrontierShard
+
+
 class ShardedSeenSet:
-    """Driver-side handle over the S filter shards."""
+    """Driver-side handle over the S filter/frontier shards."""
 
     def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 16):
         self.num_shards = num_shards
         self.shards = [
-            FilterShard.options(name=None).remote(capacity_per_shard)
+            FrontierShard.options(name=None).remote(capacity_per_shard)
             for _ in range(num_shards)
         ]
 
@@ -77,7 +245,7 @@ class ShardedSeenSet:
 
     def restore_pages(self, pages: list[bytes]) -> None:
         assert len(pages) == self.num_shards
-        ray.get([s.restore.remote(p) for s, p in zip(self.shards, pages)])
+        ray.get([s.restore_page.remote(p) for s, p in zip(self.shards, pages)])
 
     def total(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))

@@ -22,7 +22,7 @@ def host_shard(host: str, salt: int, num_shards: int) -> int:
     return int.from_bytes(digest, "little") % num_shards
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.05)
 class PolitenessShard:
     """Gate actor for one host-hash shard."""
 
