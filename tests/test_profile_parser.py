@@ -171,3 +171,100 @@ def test_subtraction_residue(profile):
     # content must be consumed by parsed values
     ratio = validator.coverage_ratio(profile)
     assert ratio > 0.65, f"coverage only {ratio:.2f}"
+
+
+def test_schema_validator_ajv_verdicts():
+    """Full schema.yml parity (ref lib/validator.js:38-43, schema.yml:1-76,
+    test/parser.test.js:13-23): a conforming flat record validates; deleting
+    wkn fails (the reference test's negative case); every constraint class
+    fires exactly as ajv v4 would judge it."""
+    flat = {
+        "_fulltext": "x",
+        "wkn": 548780,
+        "isin": "DE0005487807",
+        "email": ["info@example.de", "ir@example.de"],
+        "www": ["http://www.example.de"],
+        "street": "Musterweg",
+        "street_number": "7a",
+        "city": "Plochingen",
+        "zip": "73207",
+        "activity_description": "desc",
+        "established_year": 1905,
+        "status": "Insolvenz eröffnet",
+        "phone": "(07153) 71-0",
+        "fax": "(07153) 71-221",
+        "aufsichtsrat": [{"firstName": "Hans", "lastName": "Muster", "funct": "Vors."}],
+        "vorstand": [{"firstName": "Eva", "lastName": "Beispiel"}],
+        "employee_stats": [],
+    }
+    ok, errors = validator.validate_schema(flat)
+    assert ok, errors
+
+    # the reference test's delete-wkn negative case
+    no_wkn = dict(flat)
+    del no_wkn["wkn"]
+    ok, errors = validator.validate_schema(no_wkn)
+    assert not ok and any("required property 'wkn'" in e for e in errors)
+
+    # quirk corpus: one mutation per constraint class, each must fail
+    quirks = {
+        "wkn_string": ({**flat, "wkn": "548780"}, "should be number"),
+        "extra_prop": ({**flat, "Sitz": []}, "additional property"),
+        "zip_short": ({**flat, "zip": "1234"}, "pattern"),
+        "phone_chars": ({**flat, "phone": "07153/71-0x"}, "pattern"),
+        "street_number": ({**flat, "street_number": "a7"}, "pattern"),
+        "status_pattern": ({**flat, "status": "in Liquidation"}, "pattern"),
+        "bad_email": ({**flat, "email": ["not an email"]}, "format"),
+        "bad_uri": ({**flat, "www": ["www.example.de"]}, "format 'uri'"),
+        "funct_enum": (
+            {**flat, "vorstand": [{"firstName": "E", "lastName": "B", "funct": "Mitglied"}]},
+            "not in enum",
+        ),
+        "manager_missing_last": (
+            {**flat, "aufsichtsrat": [{"firstName": "Hans"}]},
+            "required property 'lastName'",
+        ),
+        "manager_extra_prop": (
+            {**flat, "aufsichtsrat": [{"firstName": "H", "lastName": "M", "cityAcc": []}]},
+            "additional property",
+        ),
+        "email_not_array": ({**flat, "email": "info@example.de"}, "should be array"),
+    }
+    for name, (record, needle) in quirks.items():
+        ok, errors = validator.validate_schema(record)
+        assert not ok, name
+        assert any(needle in e for e in errors), (name, errors)
+
+    # ajv pattern semantics are unanchored search: zip inside a longer string
+    # still matches (\d{5} has no anchors)
+    ok, _ = validator.validate_schema({**flat, "zip": "D-73207 Plochingen"})
+    assert ok
+
+    # the funct enum pattern's '.' is a regex any-char (faithful quirk):
+    # 'VorsX' matches '^(?:Vors.|stellv. Vors.)$'
+    ok, _ = validator.validate_schema(
+        {**flat, "vorstand": [{"firstName": "E", "lastName": "B", "funct": "VorsX"}]}
+    )
+    assert ok
+
+    # the current parser's nested golden-fixture output is INVALID under the
+    # strict schema (legacy flat layout; validator.js is self-deprecated) —
+    # exactly ajv's verdict: unknown section keys + missing top-level wkn
+    html = open(
+        "/root/reference/test/fixtures/html/2005/0003.html.utf8.html", encoding="utf-8"
+    ).read()
+    profile = parse_profile(html)
+    ok, errors = validator.validate_schema(profile)
+    assert not ok
+    assert any("additional property 'Sitz'" in e for e in errors)
+    assert any("required property 'wkn'" in e for e in errors)
+
+    # engine-mode validate: same constraints, additionalProperties relaxed —
+    # with wkn surfaced from all_wkn_entry, the ONLY remaining violations on
+    # the golden parse are the vorstand functs outside the schema's enum
+    # ('Verwaltung Vertrieb Finanzen', …) — exactly what ajv would flag
+    data = dict(profile)
+    data["wkn"] = int(profile["all_wkn_entry"][0]["wkn"])
+    ok, errors = validator.validate(data)
+    assert not ok
+    assert errors and all("not in enum" in e and e.startswith("vorstand") for e in errors)
