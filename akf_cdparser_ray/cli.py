@@ -39,8 +39,27 @@ def cmd_html2json(args) -> int:
     ray = _ensure_ray(args.parallel)
     from .sources.dirsource import parse_html_tree, write_mirrored_json
 
-    parsed = parse_html_tree(args.input, batch_size=args.batch_size)
+    with_cf = bool(getattr(args, "checkfiles", None))
+    parsed = parse_html_tree(args.input, batch_size=args.batch_size,
+                             with_audit=with_cf)
+    if with_cf:
+        parsed = parsed.materialize()  # consumed twice: json sink + checkfiles
     written = write_mirrored_json(parsed, args.output)
+    if with_cf:
+        # reference semantics: ./checkfiles/*.txt accumulated over the run
+        # in input order (checkfileWriter.js clearCheckfilesAtStart + append)
+        from .stages.audit import render_checkfile_texts
+
+        rows = sorted(
+            parsed.select_columns(["image_id", "audit"]).take_all(),
+            key=lambda r: r["image_id"],
+        )
+        os.makedirs(args.checkfiles, exist_ok=True)
+        for fname, text in render_checkfile_texts([r["audit"] for r in rows]).items():
+            with open(os.path.join(args.checkfiles, fname), "w",
+                      encoding="utf-8", newline="") as f:
+                f.write(text)
+        print(f"wrote checkfiles under {args.checkfiles}")
     print(f"wrote {written} json files under {args.output}")
     ray.shutdown()
     return 0
@@ -137,6 +156,9 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("-n", "--parallel", type=int, default=None, help="CPU count")
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--checkfiles", default=None, metavar="DIR",
+                   help="also write the reference's per-category checkfile "
+                        "audit logs (byte-faithful) into DIR")
     p.set_defaults(fn=cmd_html2json)
 
     p = sub.add_parser("validate", help="schema-validate parsed JSON files")

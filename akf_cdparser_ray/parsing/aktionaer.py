@@ -10,10 +10,13 @@ import re
 
 from ..functions import regex_lib as rl
 from ..functions import text_utils as tu
+from .checkfiles import js_stringify
 
 
-def parse_aktionaer(aktionaer_lines: list[str]) -> list[dict]:
-    """{name, ort, anteil, bemerkungen} per line (ref :26-128)."""
+def parse_aktionaer(aktionaer_lines: list[str], originline: int = -1,
+                    cfw=None) -> list[dict]:
+    """{name, ort, anteil, bemerkungen} per line (ref :26-128; per-line
+    checkfile write at :121, before the empty check)."""
     ret: list[dict] = []
     for raw in aktionaer_lines:
         currentline = raw
@@ -69,15 +72,20 @@ def parse_aktionaer(aktionaer_lines: list[str]) -> list[dict]:
             "bemerkungen": bemerkungen if bemerkungen else None,
         }
         manager = {k: v for k, v in manager.items() if v}
+        if cfw is not None:  # ref :121
+            cfw(originline, raw, js_stringify(manager))
         if not tu.is_object_empty(manager):
             ret.append(manager)
     return ret
 
 
-def parse_anteils_eigner(lines: list[str]) -> list[dict]:
-    """{eigner, anteil, bemerkung} per line (ref :142-195)."""
+def parse_anteils_eigner(lines: list[str], originline: int = -1,
+                         cfw=None) -> list[dict]:
+    """{eigner, anteil, bemerkung} per line (ref :142-195; per-line
+    checkfile write at :190)."""
     out: list[dict] = []
     for currentline in lines:
+        raw_line = currentline
         if currentline is None or currentline.strip() == "":
             continue
         bemerkung = ""
@@ -97,6 +105,8 @@ def parse_anteils_eigner(lines: list[str]) -> list[dict]:
         eigner = rl.remove_last_comma(currentline.strip())
         manager = {"eigner": eigner, "anteil": anteil, "bemerkung": bemerkung}
         manager = {k: v for k, v in manager.items() if v}
+        if cfw is not None:  # ref :190
+            cfw(originline, raw_line, js_stringify(manager))
         out.append(manager)
     return out
 
@@ -191,7 +201,7 @@ def prepare_beteiligungen(lines: list[str]) -> list[str] | None:
 def parse_beteiligungen2(lines: list[str]) -> list[dict] | None:
     """Headline-grouped items from flat lines (ref :490-528)."""
     ret: list[dict] = []
-    current = {"ueberschrift": "ohne_titel", "zeilen": []}
+    current = {"zeilen": [], "ueberschrift": "ohne_titel"}
     for cur in lines:
         if not cur or not cur.strip():
             continue
@@ -202,7 +212,7 @@ def parse_beteiligungen2(lines: list[str]) -> list[dict] | None:
             ueberschrift = rl.remove_last_colon(cur.strip()).strip()
             if len(current["zeilen"]) >= 1:
                 ret.append(current)
-            current = {"ueberschrift": ueberschrift, "zeilen": []}
+            current = {"zeilen": [], "ueberschrift": ueberschrift}
         else:
             current["zeilen"].append(parsed)
     ret.append(current)
@@ -215,7 +225,7 @@ def parse_beteiligungen(tables_arr, tables_parsed, rest, infos) -> dict | None:
     if tables_arr is None:
         return None
 
-    current = {"ueberschrift": None, "zeilen": []}
+    current = {"zeilen": [], "ueberschrift": None}
     if rest.get(0):
         maybe_header = tu.html_text_to_text(rest[0]).strip()
         if maybe_header:
@@ -250,7 +260,7 @@ def parse_beteiligungen(tables_arr, tables_parsed, rest, infos) -> dict | None:
                     cur_rest = tu.html_text_to_text(rest[y]).strip()
                     if cur_rest:
                         ret["elemente"].append(current)
-                        current = {"ueberschrift": cur_rest, "zeilen": []}
+                        current = {"zeilen": [], "ueberschrift": cur_rest}
     if current:
         if current["ueberschrift"] is None:
             # JSON.stringify drops undefined keys — an item that never got a

@@ -9,6 +9,7 @@ import re
 
 from ..functions import regex_lib as rl
 from ..functions import text_utils as tu
+from .checkfiles import js_stringify
 
 _WAEHRUNG_RE = re.compile(r"(TDM)|(DM)|(TEUR)|(EUR)")
 _YEAR_G_RE = re.compile(r"\d\d\d\d")
@@ -16,7 +17,7 @@ _YEAR_RANGE_RE = re.compile(r"\d\d\d\d(/\d\d)*")
 _SEMI_SPLIT_RE = re.compile(r"\s*;\s*")
 
 
-def parse_organbezuege(organbezuege: str) -> list[dict]:
+def parse_organbezuege(organbezuege: str, originline: int = -1, cfw=None) -> list[dict]:
     organbezuege = rl.replace_semicolon_and_comma_in_brackets(organbezuege)
     yearmatch = _YEAR_G_RE.findall(organbezuege)
     one_year_for_all = None
@@ -80,5 +81,7 @@ def parse_organbezuege(organbezuege: str) -> list[dict]:
         for k, v in item.items():
             if v:
                 out[k] = v.replace("()", "", 1)
+        if cfw is not None:  # ref parser_organbezuege.js:119
+            cfw(originline, part, js_stringify(out))
         ret.append(out)
     return ret

@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 from ..functions import regex_lib as rl
+from .checkfiles import js_stringify
 from ..functions import text_utils as tu
 from . import aktionaer as pa
 from .dictionaries import Dictionaries
@@ -159,16 +160,21 @@ def check_person_line(
     return {k: v for k, v in manager.items() if v}
 
 
-def parse_vorstand(vorstand: str, dicts: Dictionaries) -> list[dict]:
-    """ref parser_persons.js:180-196"""
+def parse_vorstand(vorstand: str, dicts: Dictionaries, originline: int = -1,
+                   cfw=None) -> list[dict]:
+    """ref parser_persons.js:180-196 (per-manager checkfile write at :192)"""
     vorstand = rl.replace_semicolon_and_comma_in_brackets(vorstand)
-    return [
-        check_person_line(part, dicts)
-        for part in tu.trim_all(_SEMI_SPLIT_RE.split(vorstand))
-    ]
+    out = []
+    for part in tu.trim_all(_SEMI_SPLIT_RE.split(vorstand)):
+        manager = check_person_line(part, dicts)
+        if cfw is not None:
+            cfw(originline, part, js_stringify(manager))
+        out.append(manager)
+    return out
 
 
-def parse_investor_relations(lines: list[str], dicts: Dictionaries) -> dict:
+def parse_investor_relations(lines: list[str], dicts: Dictionaries,
+                             originline: int = -1, cfw=None) -> dict:
     """Investor/Public-Relations person+contact lines
     (ref parser_persons.js:276-367). Returns {restOfLines, returnObject}."""
     final: list[str] = []
@@ -217,12 +223,15 @@ def parse_investor_relations(lines: list[str], dicts: Dictionaries) -> dict:
             fax = fax.replace("()", "", 1).strip()
         manager = {"name": name, "email": email, "telefon": telefon, "fax": fax, "funct": funct}
         manager = {k: v for k, v in manager.items() if v}
+        if cfw is not None:  # ref parser_persons.js:361 (before the empty check)
+            cfw(originline, item, js_stringify(manager))
         if not tu.is_object_empty(manager):
             return_object.append(manager)
     return {"restOfLines": rest_of_lines, "returnObject": return_object}
 
 
-def parse_gesellschafter(items: list[str], dicts: Dictionaries) -> dict:
+def parse_gesellschafter(items: list[str], dicts: Dictionaries,
+                         originline: int = -1, cfw_aktionaere=None) -> dict:
     """Mode machine over Gesellschafter / Kommanditisten / Aktionäre /
     Anteilseigner / Komplementär headers (ref parser_persons.js:369-452)."""
     ret: dict = {}
@@ -247,7 +256,7 @@ def parse_gesellschafter(items: list[str], dicts: Dictionaries) -> dict:
             elif mode == "Kommanditisten":
                 ret.setdefault("kommanditisten", []).append(pa.beteiligungen_parse_line(text))
             elif mode == "Aktionaere":
-                for r in pa.parse_aktionaer([text]):
+                for r in pa.parse_aktionaer([text], originline, cfw_aktionaere):
                     ret.setdefault("aktionaere", []).append(r)
             elif mode == "Anteilseigner":
                 ret.setdefault("anteilseigner", []).append(pa.beteiligungen_parse_line(text))

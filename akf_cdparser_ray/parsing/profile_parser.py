@@ -23,6 +23,7 @@ from . import boersenbewertung as pb
 from . import organbezuege as po
 from . import persons as pp
 from . import tables as pt
+from .checkfiles import JS_UNDEF, AuditSink, js_stringify
 from .dictionaries import Dictionaries, get_default
 
 _SEMI_SPLIT_RE = re.compile(r"\s*;\s*")
@@ -31,7 +32,7 @@ _DIGITS_RE = re.compile(r"\d+")
 _HEAD_RE = re.compile(r"<head>[\s\S]*</head>", re.IGNORECASE)
 
 
-_JS_UNDEF = object()  # JS `undefined`: keys with this value vanish in JSON
+_JS_UNDEF = JS_UNDEF  # JS `undefined`: keys with this value vanish in JSON
 
 
 class _JsArrayDict(dict):
@@ -54,8 +55,11 @@ def _line(lines: list[str], i: int) -> str | None:
 class ProfileParser:
     """Stateless per-document parser; ``dicts`` is the only (read-only) state."""
 
-    def __init__(self, dicts: Dictionaries | None = None):
+    def __init__(self, dicts: Dictionaries | None = None, audit: AuditSink | None = None):
         self.dicts = dicts or get_default()
+        # checkfile audit sink (ref lib/checkfileWriter.js); None = no logging
+        self.audit = audit
+        self._lastidx = 0  # Checkfile_Index Diffindex state (ref parser.js:68,81-88)
         # (match_pattern, fn, disabled) — order matters, first match wins
         # (ref parser.js:94-1854; disabled entries at :516,:552 kept for parity)
         self._parse_functions = [
@@ -184,11 +188,48 @@ class ProfileParser:
     def _current_count(self, key: str) -> int:
         return self._counts.get(key, 0)
 
+    # -- checkfile audit hooks (no-ops when self.audit is None) ------------
+    def _cfw(self, key: str, originline: int, origin: str, parsed: str) -> None:
+        """ref checkfileWriter.js writeToCheckfile via lib/parser.js call sites"""
+        if self.audit is not None:
+            self.audit.write(key, originline, origin, parsed)
+
+    def _cfw_header(self, key: str, text: str) -> None:
+        if self.audit is not None:
+            self.audit.header(key, text)
+
+    def _sub_cfw(self, key: str):
+        """Per-item write callback threaded into the sub-parsers
+        (parser_persons.js:192,361; parser_aktionaer…:121,190;
+        parser_organbezuege.js:119)."""
+        if self.audit is None:
+            return None
+        def cb(originline, origin, parsed):
+            self.audit.write(key, originline, origin, parsed)
+        return cb
+
+    def _check_info(self, matchtheme: str, originline: int, i: int, lines: list) -> None:
+        """ref parser.js:81-88 (_checkInfo → Checkfile_Index)."""
+        if self.audit is None:
+            return
+        if matchtheme == "AKF_PARSER_START":
+            self._lastidx = 0
+        info = js_stringify(
+            {"Match": matchtheme, "Startindex": originline, "Endindex": i,
+             "Diffindex": originline - self._lastidx}, 1,
+        )
+        cur = _line(lines, i)
+        self.audit.write("index", originline, info,
+                         js_stringify(cur if cur is not None else JS_UNDEF, 1))
+        self._lastidx = i
+
     # ------------------------------------------------------------------
     # header block (ref parser.js:105-221)
     def _fn_start(self, lines, i, ret):
         self._count("name")
         i += 1
+        originline = i  # ref parser.js:109 (after the increment)
+        origintext: list[str] = []
         type_ = ""
         isin = ""
         wkn = ""
@@ -199,12 +240,16 @@ class ProfileParser:
 
         while True:
             cur = _line(lines, i)
+            origintext.append((cur if cur is not None else "undefined") + "\r\n")
             if cur and (
                 re.search("<td align=center>", cur) or re.search('<td align="center">', cur)
             ):
                 m = re.search(r"<b>(.*?)</b>", cur)
                 if m:
                     ret["name"] = m.group(1)
+                    self._cfw("name", originline, js_stringify(origintext, 1),
+                              js_stringify(m.group(1), 1))
+                    origintext = []
             if cur and (
                 re.search("Wertpapier-Kenn", cur) or re.search(r"Wertpapier Kenn\.-Nr\.", cur)
             ):
@@ -219,6 +264,7 @@ class ProfileParser:
                     while True:
                         i += 1
                         nxt = _line(lines, i)
+                        origintext.append((nxt if nxt is not None else "undefined") + "\r\n")
                         if nxt is None:
                             break
                         tm = _PARENS_RE.search(nxt)
@@ -256,6 +302,7 @@ class ProfileParser:
                         while True:
                             i += 1
                             nxt = _line(lines, i)
+                            origintext.append((nxt if nxt is not None else "undefined") + "\r\n")
                             if nxt is None:
                                 break
                             tm2 = _PARENS_RE.search(nxt)
@@ -281,14 +328,18 @@ class ProfileParser:
                 break
 
         all_wkn_entry.append(_wkn_entry(type_, isin, wkn, nw))
+        self._cfw("wknentry", originline, js_stringify(origintext, 1),
+                  js_stringify(all_wkn_entry, 1))
         i -= 1
         ret["all_wkn_entry"] = all_wkn_entry
+        self._check_info("AKF_PARSER_START", originline, i, lines)
         return i
 
     # ------------------------------------------------------------------
     # Sitz / address block (ref parser.js:228-381)
     def _fn_sitz(self, lines, i, ret):
         self._count("sitz")
+        originline = i
         try:
             i += 1
             address_lines = ""
@@ -414,8 +465,11 @@ class ProfileParser:
                             obj["tonline"] = re.split(r"\s*,\s*", v)
                 ret_temp.append(obj)
                 obj = {}
+            self._cfw("sitz", originline, js_stringify(address_linearr, 1),
+                      js_stringify(ret_temp, 1))
             i -= 1
             ret["Sitz"] = ret_temp
+            self._check_info("Sitz", originline, i, lines)
             return i
         except Exception:
             return None
@@ -424,6 +478,7 @@ class ProfileParser:
     def _fn_taetigkeit(self, lines, i, ret):
         """ref parser.js:387-416"""
         self._count("taetigkeitsgebiet")
+        originline = i
         i += 1
         activity = ""
         while True:
@@ -437,12 +492,16 @@ class ProfileParser:
         if re.search("<b>Gr", activity.replace("<br>", "\n")):
             return i - 2
         ret["activity_description"] = activity.replace("<br>", "\n")
+        self._cfw("taetigkeitsgebiet", originline, js_stringify(activity, 1),
+                  js_stringify(ret["activity_description"], 1))
         i -= 1
+        self._check_info("Tätigkeitsgebiet/Gründung", originline, i, lines)
         return i
 
     def _fn_gruendung(self, lines, i, ret):
         """ref parser.js:422-456"""
         self._count("gruendung")
+        originline = i
         m = _DIGITS_RE.search(lines[i])
         if m:
             ret["established_year"] = int(m.group(0))
@@ -453,29 +512,44 @@ class ProfileParser:
             if cur:
                 rest_final.append(cur)
         ret["established_year_bemerkungen"] = rest_final
+        self._cfw("gruendung", originline, js_stringify(lines[i], 1),
+                  js_stringify(ret.get("established_year", JS_UNDEF), 1))
+        self._cfw("gruendung", originline, "Additional entry for bemerkungen:",
+                  js_stringify(rest_final, 1))
         i += 1
+        self._check_info("Gründung", originline, i, lines)
         return i
 
     def _fn_status(self, lines, i, ret):
         """ref parser.js:462-475"""
         self._count("status")
+        originline = i
         m = re.search(r"[^>]+$", lines[i])
         if m:
             ret["status"] = m.group(0)
+        self._cfw("status", originline, js_stringify(lines[i], 1),
+                  js_stringify(ret.get("status", JS_UNDEF), 1))
+        self._check_info("Status", originline, i, lines)
         return i
 
     def _fn_sonstige(self, lines, i, ret):
         """ref parser.js:481-507"""
         self._count("angaben")
+        originline = i
+        origintext = ""
         i += 1
         angaben = []
         while not re.search("</body>|</html>", lines[i]):
+            origintext += lines[i]
             if re.search("<b>", lines[i]):
                 strip = re.sub(r"(<([^>]+)>)", "", lines[i], flags=re.IGNORECASE)
                 angaben.append(strip.split(":"))
             i += 1
             if i >= len(lines):
                 break
+        self._cfw("angaben", originline, js_stringify(origintext, 1),
+                  js_stringify(angaben, 1))
+        self._check_info("Sonstige Angaben", originline, i, lines)
         ret["sonstigeAngaben"] = angaben
         return i
 
@@ -483,11 +557,13 @@ class ProfileParser:
     def _fn_aufsichtsrat(self, lines, i, ret):
         """ref parser.js:584-649"""
         self._count("aufsichtsrat")
+        originline = i
         commonfunct_is_there = False
         commonfunct = ""
         aufsichtsrat = re.sub(r"b>Aufsichtsrat: </b><br>", "", lines[i], flags=re.IGNORECASE)
         aufsichtsrat = re.sub(r"b>Aufsichtsrat:</b><br>", "", aufsichtsrat, flags=re.IGNORECASE)
         aufsichtsrat = re.sub(r"<br>|<|>", "", aufsichtsrat, flags=re.IGNORECASE)
+        self._cfw_header("akf_learndata", aufsichtsrat)  # ref :598
         i += 1
         n = len(lines)
         while True:
@@ -508,14 +584,19 @@ class ProfileParser:
                 break
         ret["aufsichtsrat"] = []
         for part in tu.trim_all(_SEMI_SPLIT_RE.split(aufsichtsrat)):
+            self._cfw_header("akf_learndata", part)  # ref :633
             manager = pp.check_person_line(part, self.dicts, commonfunct_is_there, commonfunct)
+            self._cfw("aufsichtsrat", originline, part, js_stringify(manager))  # ref :637
             ret["aufsichtsrat"].append(manager)
+        self._cfw_header("akf_learndata", "Gründung: 9999")  # ref :643
         i -= 1
+        self._check_info("Aufsichtsrat", originline, i, lines)
         return i
 
     def _fn_vorstand1(self, lines, i, ret):
         """ref parser.js:655-676"""
         self._count("vorstand")
+        originline = i
         i += 1
         vorstand = ""
         while True:
@@ -525,23 +606,31 @@ class ProfileParser:
                 break
         ret.setdefault("vorstand", [])
         vorstand = rl.replace_semicolon_and_comma_in_brackets(vorstand)
-        ret["vorstand"].append(pp.parse_vorstand(vorstand, self.dicts))
+        ret["vorstand"].append(
+            pp.parse_vorstand(vorstand, self.dicts, originline, self._sub_cfw("vorstand"))
+        )
+        self._check_info("Vorstand", originline, i, lines)  # ref :674 (pre-decrement)
         return i - 1
 
     def _fn_vorstand2(self, lines, i, ret):
         """ref parser.js:682-701"""
         self._count("vorstand")
+        originline = i
         br_split = lines[i].split("<br>")
         spliced = br_split[1:]
         i += 1
         vorstand = "".join(spliced)
         ret.setdefault("vorstand", [])
-        ret["vorstand"].append(pp.parse_vorstand(vorstand, self.dicts))
+        ret["vorstand"].append(
+            pp.parse_vorstand(vorstand, self.dicts, originline, self._sub_cfw("vorstand"))
+        )
+        self._check_info("Vorstand-2", originline, i, lines)
         return i
 
     def _fn_leitung(self, lines, i, ret):
         """ref parser.js:707-737"""
         self._count("leitung_kommunikation")
+        originline = i
         i += 1
         currentline = lines[i]
         lines_leitung = []
@@ -552,12 +641,16 @@ class ProfileParser:
             currentline = lines[i] if i < len(lines) else ""
             if "<br><center>" in currentline or i >= len(lines):
                 break
-        ret["leitung_kommunikation"] = pp.parse_leiter(lines_leitung, self.dicts)
+        result = pp.parse_leiter(lines_leitung, self.dicts)
+        self._cfw("leitung_kommunikation", originline, js_stringify(lines_leitung, 1),
+                  js_stringify(result, 1))
+        ret["leitung_kommunikation"] = result
         return i - 1
 
     def _fn_geschleitung(self, lines, i, ret):
         """ref parser.js:743-776"""
         self._count("geschleitung")
+        originline = i
         br_split = lines[i].split("<br>")
         spliced = br_split[1:]
         geschleitung = "".join(spliced)
@@ -567,18 +660,24 @@ class ProfileParser:
         ret["geschleitung"] = []
         geschleitung = rl.replace_semicolon_and_comma_in_brackets(geschleitung)
         for part in tu.trim_all(_SEMI_SPLIT_RE.split(geschleitung)):
-            ret["geschleitung"].append(pp.check_person_line(part, self.dicts, False, ""))
+            manager = pp.check_person_line(part, self.dicts, False, "")
+            self._cfw("geschleitung", originline, part, js_stringify(manager))  # ref :767
+            ret["geschleitung"].append(manager)
         i -= 1
+        self._check_info("Geschäftsleitung", originline, i, lines)
         return i
 
     def _fn_organbezuege(self, lines, i, ret):
         """ref parser.js:786-816"""
         self._count("organbezuege")
+        originline = i
         b_split = lines[i].split("</b>")
         spliced = b_split[1:]
         organbezuege = "".join(p.replace("<br>", "") for p in spliced)
+        self._cfw_header("organbezuege", organbezuege)  # ref :802
         i += 1
-        result = po.parse_organbezuege(organbezuege)
+        self._check_info("Organbezüge", originline, i, lines)
+        result = po.parse_organbezuege(organbezuege, originline, self._sub_cfw("organbezuege"))
         if result:
             ret.setdefault("organbezuege", []).append(result)
         return i
@@ -587,11 +686,13 @@ class ProfileParser:
     def _fn_aktionaere(self, lines, i, ret):
         """ref parser.js:823-889"""
         self._count("aktionaere")
+        originline = i
         currentline = lines[i]
         lines_aktionaer = []
         n = len(lines)
         while True:
             if currentline and currentline.strip() != "":
+                self._cfw_header("aktionaere", currentline)  # ref :834
                 lines_aktionaer.append(currentline)
             i += 1
             currentline = lines[i] if i < n else ""
@@ -616,18 +717,23 @@ class ProfileParser:
                 if cline and "<br><center><h5>" not in cline:
                     aktionaer_final.extend(cline.split("<br>"))
         i += 1
-        aktionaere = pa.parse_aktionaer(aktionaer_final)
+        aktionaere = pa.parse_aktionaer(aktionaer_final, originline, self._sub_cfw("aktionaere"))
         ret.setdefault("aktionaer", []).extend(aktionaere)
+        self._check_info("Aktionäre", originline, i, lines)
         return i - 3
 
     def _fn_public_relations(self, lines, i, ret):
         """ref parser.js:894-942 (the reference's second parse loop checks a
-        misspelled property and never iterates; mirrored by pushing once)."""
+        misspelled property and never iterates; mirrored by pushing once —
+        but the second parse call still runs, so its checkfile writes repeat,
+        ref :938-939)."""
         self._count("publicRelations")
+        originline = i
         currentline = lines[i]
         lines_pub = []
         while True:
             if currentline.strip() != "":
+                self._cfw_header("publicRelations", currentline)  # ref :906
                 lines_pub.append(currentline)
             i += 1
             currentline = lines[i] if i < len(lines) else "<br>"
@@ -638,17 +744,24 @@ class ProfileParser:
         else:
             final = lines_pub[1].split("<br>")
         ret.setdefault("publicRelations", [])
-        result = pp.parse_investor_relations(final, self.dicts)
+        cfw = self._sub_cfw("investorRelations")  # ref writes go to InvestorRelations
+        result = pp.parse_investor_relations(final, self.dicts, originline, cfw)
         ret["publicRelations"].append(result["returnObject"])
+        if self.audit is not None:
+            # the reference's dead second call (ref :938) repeats the writes
+            pp.parse_investor_relations(final, self.dicts, originline, cfw)
+        self._check_info("Public Relations", originline, i, lines)
         return i - 1
 
     def _fn_investor_relations(self, lines, i, ret):
         """ref parser.js:948-995"""
         self._count("investorRelations")
+        originline = i
         currentline = lines[i]
         lines_inv = []
         while True:
             if currentline.strip() != "":
+                self._cfw_header("investorRelations", currentline)  # ref :959
                 lines_inv.append(currentline)
             i += 1
             currentline = lines[i] if i < len(lines) else "<br>"
@@ -660,18 +773,21 @@ class ProfileParser:
             final = lines_inv[1].split("<br>")
         i += 1
         ret.setdefault("investorRelations", [])
-        result = pp.parse_investor_relations(final, self.dicts)
+        cfw = self._sub_cfw("investorRelations")
+        result = pp.parse_investor_relations(final, self.dicts, originline, cfw)
         ret["investorRelations"].append(result["returnObject"])
         guard = 0
         while result["restOfLines"] and len(result["restOfLines"]) >= 1 and guard < 50:
             guard += 1
-            result = pp.parse_investor_relations(result["restOfLines"], self.dicts)
+            result = pp.parse_investor_relations(result["restOfLines"], self.dicts, originline, cfw)
             ret["investorRelations"].append(result["returnObject"])
+        self._check_info("Investor Relations", originline, i, lines)
         return i - 2
 
     def _fn_gesellschafter(self, lines, i, ret):
         """ref parser.js:1001-1040"""
         self._count("gesellschafter")
+        originline = i
         i += 1
         currentline = lines[i]
         items = []
@@ -685,16 +801,24 @@ class ProfileParser:
             currentline = lines[i] if i < len(lines) else "<br><center><h5><table><tr>"
             if "<br><center><h5><table><tr>" in currentline:
                 break
-        ret["gesellschafter"] = pp.parse_gesellschafter(items, self.dicts)
+        result = pp.parse_gesellschafter(
+            items, self.dicts, originline, self._sub_cfw("aktionaere")
+        )
+        self._check_info("Gesellschafter", originline, i, lines)
+        ret["gesellschafter"] = result
+        self._cfw("gesellschafter", originline, js_stringify(items, 1),
+                  js_stringify(result, 1))  # ref :1035 (file disabled in config)
         return i - 1
 
     def _fn_anteilseigner(self, lines, i, ret):
         """ref parser.js:1046-1088"""
         self._count("anteilseigner")
+        originline = i
         currentline = lines[i]
         lines_ant = []
         while True:
             if currentline.strip() != "":
+                self._cfw_header("anteilseigner", currentline)  # ref :1057
                 lines_ant.append(currentline)
             i += 1
             currentline = lines[i] if i < len(lines) else None
@@ -709,7 +833,10 @@ class ProfileParser:
         else:
             final = lines_ant[1].split("<br>")
         i += 1
-        ret["anteilsEigner"] = pa.parse_anteils_eigner(final)
+        self._check_info("Anteilseigner", originline, i, lines)
+        ret["anteilsEigner"] = pa.parse_anteils_eigner(
+            final, originline, self._sub_cfw("anteilseigner")
+        )
         return i - 3
 
     def _fn_beteiligungen(self, lines, i, ret):
@@ -731,12 +858,17 @@ class ProfileParser:
         final = pa.prepare_beteiligungen(lines_bet)
         if final is None:
             return originline + 1
-        ret["beteiligungen"] = pa.parse_beteiligungen2(final)
+        returnbet = pa.parse_beteiligungen2(final)
+        self._cfw("beteiligungen", originline, js_stringify(lines_bet, 1),
+                  js_stringify(returnbet, 1))  # ref :1129
+        ret["beteiligungen"] = returnbet
+        self._check_info("Ausgewählte Beteiligungen", originline, i, lines)
         return originline + 1
 
     def _fn_wesentliche_beteiligungen(self, lines, i, ret):
         """ref parser.js:1142-1189"""
         self._count("beteiligungenWesentliche")
+        originline = i
         i += 1
         currentline = lines[i] if i < len(lines) else ""
         lines_bet = []
@@ -754,9 +886,16 @@ class ProfileParser:
                 break
         robj = pt.recognize_table_arrays(lines_bet)
         tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
-        ret["beteiligungen"] = pa.parse_beteiligungen(
+        self._check_info("Wesentliche Beteiligungen", originline, i, lines)
+        # ref :1180 passes the returnobject itself — JS coerces to this literal
+        self._cfw_header("beteiligungen", "[object Object]")
+        returnbet = pa.parse_beteiligungen(
             robj["tablesArr"], tables_parsed, robj["rest"], robj["infos"]
         )
+        self._cfw("beteiligungen", originline,
+                  js_stringify(robj["tablesArr"], 1) + js_stringify(robj["rest"]),
+                  js_stringify(returnbet, 1))  # ref :1184
+        ret["beteiligungen"] = returnbet
         return i - 2
 
     def _fn_unternehmensvertraege(self, lines, i, ret):
@@ -782,6 +921,7 @@ class ProfileParser:
     def _fn_kapitalentwicklung(self, lines, i, ret):
         """ref parser.js:1241-1422"""
         self._count("kapitalentwicklung")
+        originline = i
         i += 1
         currentline = lines[i] if i < len(lines) else ""
         lines_kap = []
@@ -809,17 +949,24 @@ class ProfileParser:
                     if len(prev_table) <= 1:
                         rec[prev_keys[0]] = x
                         substituted.append(prev_keys[0])
+                        self._cfw("sanitation_kapitalentwicklung", originline,
+                                  "Sanitation was triggered for table:" + str(x)
+                                  + " " + js_stringify(substituted, 1), "")  # ref :1292
 
         def nxt(idx):
             return pt.get_next_index(rec, idx)
 
+        ret_kapital = ret_grundkapital = ret_genehm = ret_beding = JS_UNDEF
+        ret_beding2 = ret_besbez = ret_ausgegeben = ret_erm = JS_UNDEF
         if "kapitalEntwicklungIndex" in rec:
             r = pt.parse_kapital_entwicklung(tables_parsed, rec["kapitalEntwicklungIndex"])
+            ret_kapital = r
             ret["kapitalEntwicklung"] = r  # JS: [] is truthy, always assigned
         if "grundkapitalIndex" in rec:
             r = pt.parse_grundkapital(
                 tables_parsed, tables_arr, rest, infos, rec["grundkapitalIndex"]
             )
+            ret_grundkapital = r
             if r and r.get("grundkapital"):
                 ret["grundkapital"] = r["grundkapital"]
             if r and r.get("stimmrecht") is not None:
@@ -831,6 +978,7 @@ class ProfileParser:
                 tables_parsed, tables_arr, rest, infos,
                 rec["genehmKapitalIndex"], nxt(rec["genehmKapitalIndex"]), substituted,
             )
+            ret_genehm = r
             ret["genehmigtesKapital"] = r  # JS: {} is truthy, always assigned
         if "genehmGenusKapitalIndex" in rec:
             r = pt.parse_genehm_kapital(
@@ -856,18 +1004,21 @@ class ProfileParser:
                 tables_parsed, tables_arr, rest, infos,
                 rec["bedingKapitalIndex"], nxt(rec["bedingKapitalIndex"]),
             )
+            ret_beding = r
             ret["bedingtesKapital"] = r  # JS: object truthy
         if "bedingKapitalIndex2" in rec:
             r = pt.parse_beding_kapital(
                 tables_parsed, tables_arr, rest, infos,
                 rec["bedingKapitalIndex2"], nxt(rec["bedingKapitalIndex2"]),
             )
+            ret_beding2 = r
             ret["bedingtesKapital2"] = r  # JS: object truthy
         if "besBezugsrechteIndex" in rec:
             r = pt.parse_bes_bezugsrechte(
                 tables_parsed, tables_arr, rest, infos,
                 rec["besBezugsrechteIndex"], nxt(rec["besBezugsrechteIndex"]),
             )
+            ret_besbez = r
             ret["besBezugsrechte"] = r  # JS: object truthy
         if "ermaechtigungAktienErwerbIndex" in rec:
             r = pt.parse_erm_aktienerwerb(
@@ -875,18 +1026,37 @@ class ProfileParser:
                 rec["ermaechtigungAktienErwerbIndex"],
                 nxt(rec["ermaechtigungAktienErwerbIndex"]),
             )
+            ret_erm = r
+            self._cfw("ermAktienerwerb", originline,
+                      js_stringify(tables_arr, 1) + js_stringify(rest),
+                      js_stringify(r, 1))  # ref :1368 (inside the if)
             ret["ermächtigungAktienerwerb"] = r  # JS: object truthy
         if "ausgegebenesKapitalIndex" in rec:
             r = pt.parse_ausgegebenes_kapital(
                 tables_parsed, tables_arr, rest, infos, rec["ausgegebenesKapitalIndex"]
             )
+            ret_ausgegeben = r
             ret["ausgegebenesKapital"] = r  # JS: object truthy
+        # ref parser.js:1371-1378 — unconditional write block (undefined results
+        # render "parsed undefined", faithfully)
+        if self.audit is not None:
+            ta1 = js_stringify(tables_arr, 1)
+            tar = ta1 + js_stringify(rest)
+            self._cfw("kapitalentwicklung", originline, ta1, js_stringify(ret_kapital, 1))
+            self._cfw("grundkapital", originline, tar, js_stringify(ret_grundkapital, 1))
+            self._cfw("genehmkapital", originline, tar, js_stringify(ret_genehm, 1))
+            self._cfw("bedingkapital", originline, tar, js_stringify(ret_beding, 1))
+            self._cfw("besbezugsrechte", originline, tar, js_stringify(ret_besbez, 1))
+            self._cfw("ausgegebenesKapital", originline, tar, js_stringify(ret_ausgegeben, 1))
+            self._cfw("bedingkapital", originline, tar, js_stringify(ret_beding2, 1))
+        self._check_info("Kapitalentwicklung", originline, i, lines)
         return i
 
     # ------------------------------------------------------------------
     def _fn_boersenbewertung(self, lines, i, ret):
         """ref parser.js:1430-1499"""
         count = self._count("boersenbewertung")
+        originline = i
         currentline = lines[i]
         lines_bb = []
         n = len(lines)
@@ -914,6 +1084,8 @@ class ProfileParser:
                 break
         i -= 1
         result = pb.parse_boersenbewertung(lines_bb, count)
+        self._cfw("boersenbewertung", originline, js_stringify(lines_bb, 1),
+                  js_stringify(result, 1))  # ref :1478
         if result:
             ret.setdefault("boersenbewertung", {})
             for key, val in result.items():
@@ -921,11 +1093,13 @@ class ProfileParser:
                     ret["boersenbewertung"][key] = val
                 elif val:
                     ret["boersenbewertung"][key].update(val)
+        self._check_info("Börsenbewertung", originline, i, lines)
         return i
 
     def _fn_kurse(self, lines, i, ret):
         """ref parser.js:1505-1576"""
         self._count("bereinigtekurse")
+        originline = i
         currentline = lines[i]
         lines_kurse = []
         n = len(lines)
@@ -953,17 +1127,21 @@ class ProfileParser:
         result = pt.parse_bereinigtekurse(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
         )
+        self._cfw("bereinigtekurse", originline, js_stringify(robj["tablesArr"], 1),
+                  js_stringify(result, 1))  # ref :1556
         if result:
             ret.setdefault("boersenbewertung", _JsArrayDict())  # ref :1563
             for k, val in result.items():
                 if val and ret["boersenbewertung"].get(k):
                     ret["boersenbewertung"][k].update(val)
         i = i - 3
+        self._check_info("Kurse", originline, i, lines)
         return i - 3
 
     def _fn_dividenden(self, lines, i, ret):
         """ref parser.js:1582-1643"""
         self._count("dividenden")
+        originline = i
         currentline = lines[i]
         lines_div = []
         n = len(lines)
@@ -990,10 +1168,13 @@ class ProfileParser:
         result = pt.parse_dividenden(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
         )
+        self._cfw("dividenden", originline, js_stringify(robj["tablesArr"], 1),
+                  js_stringify(result, 1))  # ref :1630
         ret.setdefault("boersenbewertung", _JsArrayDict())  # ref :1631
         for k, val in result.items():
             if ret["boersenbewertung"].get(k) and val:
                 ret["boersenbewertung"][k].update(val)
+        self._check_info("Dividenden", originline, i, lines)
         return i - 3
 
     def _fn_ergebnisabfuehrung(self, lines, i, ret, recursively=False):
@@ -1036,6 +1217,8 @@ class ProfileParser:
         result = pt.parse_ergebnisabfuehrung(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count, recursively
         )
+        self._cfw("ergebnisabfuehrung", originline, js_stringify(robj["tablesArr"], 1),
+                  js_stringify(result, 1))  # ref parser_additions.js:102
         ret.setdefault("boersenbewertung", {})
         ret["boersenbewertung"].setdefault(f"boersenbewertung{count}", {}).update(result)
         return i - 2
@@ -1043,6 +1226,7 @@ class ProfileParser:
     def _fn_kennzahlen(self, lines, i, ret):
         """ref parser.js:1662-1727"""
         self._count("kennzahlen")
+        originline = i
         i += 1
         currentline = lines[i] if i < len(lines) else ""
         lines_kz = []
@@ -1069,6 +1253,8 @@ class ProfileParser:
         result = pt.parse_kennzahlen(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
         )
+        self._cfw("kennzahlen", originline, js_stringify(robj["tablesArr"], 1),
+                  js_stringify(result, 1))  # ref :1708 (before the merge)
         # reference realReturnObject carries a stray 'refactored' key which the
         # merge loop materializes as an empty object (parser.js:1707-1722)
         result["refactored"] = None
@@ -1078,11 +1264,13 @@ class ProfileParser:
                 ret["boersenbewertung"][k] = {}
             if val:
                 ret["boersenbewertung"][k].update(val)
+        self._check_info("Kennzahlen", originline, i, lines)
         return i - 1
 
     def _fn_aus_bilanzen(self, lines, i, ret):
         """ref parser.js:1732-1787"""
         self._count("aus_bilanzen")
+        originline = i
         headline = lines[i]
         i += 1
         currentline = lines[i] if i < len(lines) else ""
@@ -1107,12 +1295,16 @@ class ProfileParser:
         result = pt.parse_aus_bilanzen(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], headline
         )
+        self._cfw("aus_bilanzen", originline, js_stringify(robj["tablesArr"], 1),
+                  js_stringify(result, 1))  # ref :1778
         ret.setdefault("ausBilanzen", []).append(result)
+        self._check_info("Aus den Bilanzen", originline, i, lines)
         return i - 1
 
     def _fn_aus_guv(self, lines, i, ret):
         """ref parser.js:1794-1851"""
         self._count("guv")
+        originline = i
         headline = lines[i]
         i += 1
         currentline = lines[i] if i < len(lines) else ""
@@ -1137,7 +1329,10 @@ class ProfileParser:
         result = pt.parse_aus_gewinn_und_verlustrechnungen(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], headline
         )
+        self._cfw("aus_den_gewinn_und_verlustrechnungen", originline,
+                  js_stringify(robj["tablesArr"], 1), js_stringify(result, 1))  # ref :1840
         ret.setdefault("ausGewinnUndVerlust", []).append(result)
+        self._check_info("Aus Gewinn und Verlust", originline, i, lines)
         return i - 1
 
 

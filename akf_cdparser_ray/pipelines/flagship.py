@@ -28,6 +28,7 @@ def parse_pages(
     batch_size: int = 64,
     concurrency=(1, 8),
     with_residue: bool = False,
+    with_audit: bool = False,
     dictfiles_dir: str | None = None,
 ):
     """pages Dataset → pairs Dataset (zero-copy Arrow batches; dictionaries
@@ -37,6 +38,7 @@ def parse_pages(
         fn_constructor_kwargs={
             "dictfiles_dir": dictfiles_dir,
             "with_residue": with_residue,
+            "with_audit": with_audit,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -46,11 +48,14 @@ def parse_pages(
 
 
 def pairs_pipeline(n_pages: int = 120, **kwargs):
-    """The flagship: synthesize → parse → select the pairs columns."""
+    """The flagship: synthesize → parse → select the pairs columns
+    (+ the audit side column when with_audit=True)."""
+    with_audit = kwargs.get("with_audit", False)
     ds = parse_pages(pages_dataset(n_pages), **kwargs)
-    return ds.select_columns(
-        ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "status"]
-    )
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "status"]
+    if with_audit:
+        cols.append("audit")
+    return ds.select_columns(cols)
 
 
 def write_pairs(ds, out_dir: str):

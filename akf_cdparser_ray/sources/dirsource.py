@@ -39,8 +39,9 @@ def read_html_tree(root: str):
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
-def parse_html_tree(root: str, batch_size: int = 64):
-    """Directory tree → parsed profile JSON rows (relpath, caption, status)."""
+def parse_html_tree(root: str, batch_size: int = 64, with_audit: bool = False):
+    """Directory tree → parsed profile JSON rows (relpath, caption, status,
+    + the checkfile audit column when requested)."""
     from ..stages.cached import cached_parse_batch
 
     ds = read_html_tree(root)
@@ -60,9 +61,13 @@ def parse_html_tree(root: str, batch_size: int = 64):
         )
 
     parsed = ds.map_batches(adapt, batch_format="pyarrow").map_batches(
-        cached_parse_batch(), batch_format="pyarrow", batch_size=batch_size, num_cpus=1
+        cached_parse_batch(with_audit=with_audit),
+        batch_format="pyarrow", batch_size=batch_size, num_cpus=1
     )
-    return parsed.select_columns(["image_id", "caption", "status", "error"])
+    cols = ["image_id", "caption", "status", "error"]
+    if with_audit:
+        cols.append("audit")
+    return parsed.select_columns(cols)
 
 
 def write_mirrored_json(parsed_ds, out_root: str) -> int:

@@ -1,12 +1,16 @@
 """Audit side-output (SURVEY.md §2.1 S4 — the checkfile sink).
 
-The reference appends ~30 per-category text logs from inside the parser
-(``lib/checkfileWriter.js:104-185`` — appendFileSync per section per doc).
-Engine shape: the parse output's caption JSON is exploded into
-``(stage, image_id, origin, parsed)`` audit rows by a stateless batch stage
-and written as a SECOND dataset (``write_parquet``) — never appendFile from
-tasks. Categories mirror the checkfile config toggles
-(``checkfileWriter.js:27-102``): each section key can be enabled/disabled.
+The reference appends ~36 per-category text logs from inside the parser
+(``lib/checkfileWriter.js:104-185`` — appendFileSync per section per doc),
+each entry an (origin line index, raw origin text, parsed JSON) triple.
+Engine shape: ``ParseProfiles(with_audit=True)`` carries the parser's real
+checkfile rows (byte-parity-tested in tests/test_reference_parity.py) as a
+JSON ``audit`` column; :class:`AuditExplode` flattens them into a
+``(stage, image_id, originline, kind, origin, parsed)`` table written as a
+SECOND dataset (``write_parquet``) — never appendFile from tasks. Category
+enable/disable toggles follow ``checkfileWriter.js:27-102``
+(``parsing/checkfiles.CONFIG``); ``render_checkfile_texts`` reproduces the
+reference's exact text-file bytes for the CLI sink.
 """
 
 from __future__ import annotations
@@ -15,41 +19,39 @@ import json
 
 import pyarrow as pa
 
-# default-enabled audit categories ↔ checkfile names (subset; extend freely)
-DEFAULT_CATEGORIES = [
-    "name", "all_wkn_entry", "Sitz", "aufsichtsrat", "vorstand",
-    "organbezuege", "aktionaer", "gesellschafter", "beteiligungen",
-    "kapitalEntwicklung", "grundkapital", "genehmigtesKapital",
-    "bedingtesKapital", "boersenbewertung", "ausBilanzen",
-    "ausGewinnUndVerlust",
-]
+from ..parsing.checkfiles import CONFIG, render_checkfiles
+
+DEFAULT_CATEGORIES = list(CONFIG)
 
 
 class AuditExplode:
-    """pairs batch (caption JSON) → audit rows (stage, image_id, origin, parsed)."""
+    """pairs batch (with the ``audit`` JSON column from
+    ``ParseProfiles(with_audit=True)``) → one row per checkfile write:
+    (stage, image_id, originline, kind, origin, parsed)."""
 
     def __init__(self, categories: list[str] | None = None):
         self.categories = set(categories or DEFAULT_CATEGORIES)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        stages, ids, origins, parseds = [], [], [], []
-        for image_id, caption in zip(
-            batch.column("image_id").to_pylist(), batch.column("caption").to_pylist()
+        stages, ids, lines, kinds, origins, parseds = [], [], [], [], [], []
+        for image_id, blob in zip(
+            batch.column("image_id").to_pylist(), batch.column("audit").to_pylist()
         ):
-            if not caption:
-                continue
-            data = json.loads(caption)
-            for key, val in data.items():
-                if key not in self.categories:
+            for row in json.loads(blob or "[]"):
+                if row["key"] not in self.categories:
                     continue
-                stages.append(key)
+                stages.append(row["key"])
                 ids.append(image_id)
-                origins.append(image_id)
-                parseds.append(json.dumps(val, ensure_ascii=False, sort_keys=True))
+                lines.append(row["originline"])
+                kinds.append(row["kind"])
+                origins.append(row["origin"])
+                parseds.append(row["parsed"])
         return pa.table(
             {
                 "stage": pa.array(stages, pa.string()),
                 "image_id": pa.array(ids, pa.string()),
+                "originline": pa.array(lines, pa.int32()),
+                "kind": pa.array(kinds, pa.string()),
                 "origin": pa.array(origins, pa.string()),
                 "parsed": pa.array(parseds, pa.string()),
             }
@@ -57,12 +59,21 @@ class AuditExplode:
 
 
 def write_audit(pairs_ds, out_dir: str, categories: list[str] | None = None) -> str:
-    """Side-output sink: pairs Dataset → audit parquet directory."""
+    """Side-output sink: pairs Dataset (with audit column) → audit parquet."""
     audit = pairs_ds.map_batches(
         AuditExplode(categories), batch_format="pyarrow"
     )
     audit.write_parquet(out_dir)
     return out_dir
+
+
+def render_checkfile_texts(audit_blobs: list[str]) -> dict[str, str]:
+    """Concatenate per-document audit rows (in document order) and render
+    the reference's checkfile text files byte-for-byte."""
+    rows: list[dict] = []
+    for blob in audit_blobs:
+        rows.extend(json.loads(blob or "[]"))
+    return render_checkfiles(rows)
 
 
 def json2sql_batch(batch: pa.Table) -> pa.Table:

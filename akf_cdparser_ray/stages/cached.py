@@ -34,16 +34,18 @@ def cached_fetch_batch(corpus_size: int, seed: int = 42):
     return fn
 
 
-def cached_parse_batch(dictfiles_dir: str | None = None, with_residue: bool = False):
+def cached_parse_batch(dictfiles_dir: str | None = None, with_residue: bool = False,
+                       with_audit: bool = False):
     """Returns a task-ready batch fn with a per-process ParseProfiles."""
     from .parse_stage import ParseProfiles
 
-    key = ("parse", dictfiles_dir, with_residue)
+    key = ("parse", dictfiles_dir, with_residue, with_audit)
 
     def fn(batch: pa.Table) -> pa.Table:
         p = _CACHE.get(key)
         if p is None:
-            p = _CACHE[key] = ParseProfiles(dictfiles_dir, with_residue)
+            p = _CACHE[key] = ParseProfiles(dictfiles_dir, with_residue,
+                                            with_audit=with_audit)
         return p(batch)
 
     return fn

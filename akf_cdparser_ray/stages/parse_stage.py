@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..parsing.checkfiles import AuditSink
 from ..parsing.dictionaries import Dictionaries
 from ..parsing.profile_parser import ProfileParser
 from ..parsing import validator
@@ -30,10 +31,12 @@ class ParseProfiles:
         dictfiles_dir: str | None = None,
         with_residue: bool = False,
         with_counts: bool = False,
+        with_audit: bool = False,
     ):
         self.parser = ProfileParser(Dictionaries(dictfiles_dir))
         self.with_residue = with_residue
         self.with_counts = with_counts
+        self.with_audit = with_audit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json as _json
@@ -44,10 +47,18 @@ class ParseProfiles:
         errors: list[str] = []
         residues: list[float] = []
         counts: list[str] = []
+        audits: list[str] = []
         for html in htmls:
             try:
+                if self.with_audit:
+                    # fresh per-document sink → one JSON audit blob per row
+                    self.parser.audit = AuditSink()
                 parsed = self.parser.parse(html)
                 captions.append(canonical_caption(parsed))
+                if self.with_audit:
+                    audits.append(_json.dumps(
+                        self.parser.audit.rows, ensure_ascii=False))
+                    self.parser.audit = None
                 statuses.append("ok")
                 errors.append("")
                 if self.with_residue:
@@ -63,6 +74,12 @@ class ParseProfiles:
                     residues.append(0.0)
                 if self.with_counts:
                     counts.append("{}")
+                if self.with_audit:
+                    # appendFileSync semantics: writes before the crash remain
+                    audits.append(_json.dumps(
+                        self.parser.audit.rows if self.parser.audit else [],
+                        ensure_ascii=False))
+                    self.parser.audit = None
         cols = {
             "image_id": batch.column("image_id"),
             "bytes": batch.column("bytes"),
@@ -78,6 +95,8 @@ class ParseProfiles:
             cols["coverage"] = pa.array(residues, pa.float64())
         if self.with_counts:
             cols["section_counts"] = pa.array(counts, pa.string())
+        if self.with_audit:
+            cols["audit"] = pa.array(audits, pa.string())
         return pa.table(cols)
 
 

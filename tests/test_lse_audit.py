@@ -74,14 +74,18 @@ def test_audit_and_sql_sinks(tmp_path):
     from akf_cdparser_ray.pipelines import flagship
     from akf_cdparser_ray.stages.audit import json2sql_batch, write_audit
 
-    pairs = flagship.pairs_pipeline(n_pages=6, concurrency=1)
+    pairs = flagship.pairs_pipeline(n_pages=6, concurrency=1, with_audit=True)
     out = str(tmp_path / "audit")
     write_audit(pairs, out)
     back = rd.read_parquet(out)
     rows = back.take_all()
-    assert len(rows) > 6  # several sections per document
+    assert len(rows) > 6  # several checkfile writes per document
     stages = {r["stage"] for r in rows}
-    assert "aufsichtsrat" in stages and "Sitz" in stages
+    assert "aufsichtsrat" in stages and "sitz" in stages and "index" in stages
+    # full triple fidelity: raw origin text + parsed JSON + origin line index
+    entry = next(r for r in rows if r["stage"] == "aufsichtsrat" and r["kind"] == "entry")
+    assert entry["originline"] >= 0 and entry["parsed"].startswith("{")
+    assert entry["origin"] and not entry["origin"].startswith("{")  # raw line, not JSON
 
     sql_rows = (
         flagship.pairs_pipeline(n_pages=4, concurrency=1)

@@ -100,3 +100,53 @@ def test_parity_full_page_mojibake(refrun_cwd, idx):
     ref = run_reference(mojibake, refrun_cwd)
     mine = parse_profile(mojibake)
     assert deep_diff(ref, mine) == [], idx
+
+
+def _read_ref_checkfiles(cwd: str) -> dict[str, bytes]:
+    d = os.path.join(cwd, "checkfiles")
+    return {
+        f: open(os.path.join(d, f), "rb").read()
+        for f in os.listdir(d)
+    }
+
+
+def _run_checkfile_parity(html: str, refrun_cwd: str) -> list[str]:
+    """Run both parsers; compare all ~37 rendered checkfiles byte-for-byte.
+    (run_parser.js clears the checkfile dir at module load, so the files
+    left in refrun_cwd/checkfiles belong to exactly this page.)"""
+    from akf_cdparser_ray.parsing.checkfiles import AuditSink, render_checkfiles
+    from akf_cdparser_ray.parsing.profile_parser import ProfileParser
+
+    run_reference(html, refrun_cwd)
+    ref_files = _read_ref_checkfiles(refrun_cwd)
+    sink = AuditSink()
+    ProfileParser(audit=sink).parse(html)
+    mine = render_checkfiles(sink.rows)
+    problems = []
+    for fname in sorted(set(ref_files) | set(mine)):
+        a = ref_files.get(fname, b"")
+        b = mine.get(fname, "").encode("utf-8")
+        if a != b:
+            k = next((j for j in range(min(len(a), len(b))) if a[j] != b[j]),
+                     min(len(a), len(b)))
+            problems.append(
+                f"{fname}: ref {len(a)}B vs mine {len(b)}B, first diff at {k}: "
+                f"{a[max(0, k - 40):k + 60]!r} vs {b[max(0, k - 40):k + 60]!r}"
+            )
+    return problems
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture missing")
+def test_checkfile_parity_golden_fixture(refrun_cwd):
+    """Checkfile audit triples (origin, raw, parsed) across all ~37
+    categories are byte-identical to the reference's checkfiles
+    (ref lib/checkfileWriter.js:104-185 + every parser call site)."""
+    with open(FIXTURE, encoding="utf-8") as f:
+        html = f.read()
+    assert _run_checkfile_parity(html, refrun_cwd) == []
+
+
+@pytest.mark.parametrize("idx", [0, 2, 5, 9, 13, 21, 29, 38])
+def test_checkfile_parity_synthetic_pages(refrun_cwd, idx):
+    html = synth.render_page(synth.gen_profile(idx))
+    assert _run_checkfile_parity(html, refrun_cwd) == [], idx
