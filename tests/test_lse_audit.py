@@ -33,20 +33,22 @@ def test_classify_zumstein():
     assert "," in key and ";" in key
 
 
-def test_group_neighborhoods():
+def test_do_grouping_streaks():
+    """The faithful streak grouping (ref :567-760): counts of the same key
+    in neighbor sectors merge around the local maximum."""
     df = pd.DataFrame(
         {
             "sector": [0, 1, 2, 5],
             "key": [";"] * 4,
-            "type": ["specialcharacter"] * 4,
             "ctr": [2, 10, 3, 1],
+            "first_seq": [0, 1, 2, 3],
         }
     )
-    out = lse.group_neighborhoods(df)
-    top = out.iloc[0]
-    assert top["center_sector"] == 1
-    assert top["group_ctr"] == 15  # 2+10+3 merged around the maximum
-    assert top["group_size"] == 3
+    sectors = lse.do_grouping(lse.sectors_from_aggregate(df))
+    grouped = sectors[1][";"]
+    assert grouped["isGroup"] and grouped["ctr"] == 15 and grouped["groupSize"] == 3
+    assert ";" not in sectors[0] and ";" not in sectors[2]
+    assert sectors[5][";"]["ctr"] == 1 and not sectors[5][";"]["isGroup"]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -150,3 +150,96 @@ def test_checkfile_parity_golden_fixture(refrun_cwd):
 def test_checkfile_parity_synthetic_pages(refrun_cwd, idx):
     html = synth.render_page(synth.gen_profile(idx))
     assert _run_checkfile_parity(html, refrun_cwd) == [], idx
+
+
+def _run_lse_parity(lines: list[str], refrun_cwd: str, zumstein: bool = False,
+                    name: str = "lsetest") -> list[str]:
+    """Run the REAL lineSegmentAnalyzer under refrun and diff both xlsx cell
+    grids (ungrouped + grouped) against stages/lse.py's faithful port."""
+    import subprocess
+
+    from akf_cdparser_ray.stages.lse import (
+        build_sectors_holder, do_grouping, render_cells,
+    )
+
+    inp = os.path.join(refrun_cwd, "lse_input.json")
+    with open(inp, "w", encoding="utf-8") as f:
+        json.dump({"lines": lines, "name": name, "zumstein": zumstein}, f)
+    out = subprocess.run(
+        ["node", os.path.join(RUNNER, "run_lse.js"), inp],
+        cwd=refrun_cwd,
+        env=dict(os.environ, NODE_PATH=os.path.join(RUNNER, "node_modules")),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    problems = []
+    for suffix, grouped in (("", False), ("Grouped", True)):
+        path = os.path.join(
+            refrun_cwd, f"LineSegmentAnalysis_PRINTOUT_{name}{suffix}.xlsx.json"
+        )
+        ref = json.load(open(path))["MainSheet"]
+        sectors = build_sectors_holder(lines, zumstein=zumstein)
+        if grouped:
+            do_grouping(sectors)
+        mine = render_cells(sectors)
+        if ref["columns"] != mine["columns"]:
+            problems.append(f"{suffix or 'plain'}: column keys differ")
+        mine_cells = {str(r): dict(row) for r, row in mine["cells"].items()}
+        if ref["cells"] != mine_cells:
+            for r in sorted(set(ref["cells"]) | set(mine_cells), key=int):
+                a, b = ref["cells"].get(r, {}), mine_cells.get(r, {})
+                if a != b:
+                    diffs = {k: (a.get(k), b.get(k))
+                             for k in sorted(set(a) | set(b)) if a.get(k) != b.get(k)}
+                    problems.append(f"{suffix or 'plain'} row {r}: {diffs}")
+                    break
+    return problems
+
+
+_LSE_CORPora = {
+    "persons": [
+        "Dr. Hans Muster (Vors.), Bonn; Erika Beispiel, Mainz",
+        "WP Klaus Langer (stellv. Vors.), Stuttgart",
+        "Prof. Dr. Anna Schmidt, Berlin; Uwe Klein (stellv. Vors.), Essen",
+        "Karl Gross, Hamburg", "Maria Weiss (Arbeitnehmervertreter), Jena",
+    ] * 3,
+    "mixed": [
+        "2002: Vorstand TEUR 623,5; Aufsichtsrat TEUR 77",
+        "Fabrikstr. 45, 73207 Plochingen",
+        "Telefon:(07153) 6 63-0", "ISIN: DE0005487805",
+        "1999 Gruendungskapital DM 1 000 000,00",
+        "Inhaber-Stammaktien o.N.", "", "   ",
+        "DM 5.000; Umstellung 1:1 (im Verh. 10:7)",
+        "e-mail:info@example.de, presse@example.de",
+    ] * 2,
+    "numbers": [
+        "1999 2000 2001 2002 2003", "12,5% von 1.000.000",
+        "0,10 0.25 33 4.400,12", "(100%) (50,5%) rest 7",
+    ] * 4,
+}
+
+
+@pytest.mark.parametrize("corpus", sorted(_LSE_CORPora))
+def test_lse_grid_parity(refrun_cwd, corpus):
+    """xlsx grid layout parity vs the real lineSegmentAnalyzer
+    (ref :567-949): both the ungrouped and the grouped printouts."""
+    lines = _LSE_CORPora[corpus]
+    assert _run_lse_parity(lines, refrun_cwd, name=f"c_{corpus}") == []
+
+
+def test_lse_grid_parity_zumstein(refrun_cwd):
+    lines = _LSE_CORPora["mixed"] + _LSE_CORPora["persons"]
+    assert _run_lse_parity(lines, refrun_cwd, zumstein=True, name="zums") == []
+
+
+def test_lse_grid_parity_synth_sections(refrun_cwd):
+    """Aufsichtsrat-style lines out of the synthetic corpus — the LSE's real
+    input shape in the reference workflow (parser.js:1915)."""
+    lines = []
+    for i in range(12):
+        p = synth.gen_profile(i)
+        for m in p.get("aufsichtsrat", []) or []:
+            if isinstance(m, dict):
+                lines.append(", ".join(str(v) for v in m.values()))
+    assert len(lines) > 10
+    assert _run_lse_parity(lines, refrun_cwd, name="synthafs") == []
