@@ -23,6 +23,11 @@ import math
 
 JS_UNDEF = object()  # JS `undefined`: keys vanish; string-coerces to "undefined"
 
+
+class _JsArrayDict(dict):
+    """A JS Array used as a keyed map: named properties work in-code but
+    JSON.stringify serializes the array — all props vanish ("[]")."""
+
 # key → (filename, enabled); faithful to /root/reference/lib/checkfileWriter.js:27-102
 CONFIG: dict[str, tuple[str, bool]] = {
     "akf_learndata": ("akf_cds_aufsichtsrat_learndata.txt", True),
@@ -70,7 +75,7 @@ def _to_jsonable(value):
     if value is JS_UNDEF:
         return JS_UNDEF
     if isinstance(value, dict):
-        if type(value).__name__ == "_JsArrayDict":
+        if isinstance(value, _JsArrayDict) or type(value).__name__ == "_JsArrayDict":
             return []  # JS Array used as a map: stringify loses the props
         out = {}
         for k, v in value.items():

@@ -23,7 +23,7 @@ from . import boersenbewertung as pb
 from . import organbezuege as po
 from . import persons as pp
 from . import tables as pt
-from .checkfiles import JS_UNDEF, AuditSink, js_stringify
+from .checkfiles import JS_UNDEF, AuditSink, _JsArrayDict, js_stringify
 from .dictionaries import Dictionaries, get_default
 
 _SEMI_SPLIT_RE = re.compile(r"\s*;\s*")
@@ -35,12 +35,9 @@ _HEAD_RE = re.compile(r"<head>[\s\S]*</head>", re.IGNORECASE)
 _JS_UNDEF = JS_UNDEF  # JS `undefined`: keys with this value vanish in JSON
 
 
-class _JsArrayDict(dict):
-    """A JS Array used as a keyed map: named properties work in-code but
-    JSON.stringify serializes the array, so they all vanish ("[]").
-    The Kurse and Dividenden sections initialize ``ret.boersenbewertung``
-    this way when no Börsenbewertung object exists yet
-    (ref parser.js:1563,1631); parse() renders it as [] at the end."""
+# _JsArrayDict (imported from checkfiles): the Kurse and Dividenden sections
+# initialize ret.boersenbewertung this way when no Börsenbewertung object
+# exists yet (ref parser.js:1563,1631); parse() renders it as [] at the end.
 
 
 def _wkn_entry(type_, isin, wkn, nw) -> dict:
@@ -126,7 +123,7 @@ class ProfileParser:
         # skip the 30-pattern scan (pure optimization, no behavior change)
         self._prefilter = re.compile(
             "b>|ISIN|Wertpapier|Kennzahlen|AKF_PARSER_START"
-            "|Tätigkeitsgebiet|Ergebnisabführung"
+            "|Tätigkeitsgebiet|Ergebnisabführung|Leitung Kommunikation"
         )
 
     # ------------------------------------------------------------------
@@ -949,9 +946,11 @@ class ProfileParser:
                     if len(prev_table) <= 1:
                         rec[prev_keys[0]] = x
                         substituted.append(prev_keys[0])
-                        self._cfw("sanitation_kapitalentwicklung", originline,
-                                  "Sanitation was triggered for table:" + str(x)
-                                  + " " + js_stringify(substituted, 1), "")  # ref :1292
+                # the write fires for EVERY unassociated table, with the
+                # substitution list accumulated so far (ref :1276-1295)
+                self._cfw("sanitation_kapitalentwicklung", originline,
+                          "Sanitation was triggered for table:" + str(x)
+                          + " " + js_stringify(substituted, 1), "")  # ref :1292
 
         def nxt(idx):
             return pt.get_next_index(rec, idx)
@@ -1221,6 +1220,7 @@ class ProfileParser:
                   js_stringify(result, 1))  # ref parser_additions.js:102
         ret.setdefault("boersenbewertung", {})
         ret["boersenbewertung"].setdefault(f"boersenbewertung{count}", {}).update(result)
+        self._check_info("Ergebnisabführung", originline, i, lines)  # ref additions:108
         return i - 2
 
     def _fn_kennzahlen(self, lines, i, ret):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import re
 
+from .checkfiles import _JsArrayDict
 from ..functions import regex_lib as rl
 from ..functions import text_utils as tu
 
@@ -379,7 +380,9 @@ def parse_bes_bezugsrechte(tables_parsed, tables_arr, rest, infos, index, next_i
             t = tu.html_text_to_text(cur).strip()
             if not t:
                 continue
-            entry = {"jahr": t, "bemerkungen": []}
+            # ref entry(): `this.jahr;` is a no-op — bemerkungen is the
+            # only constructed key, jahr inserts on assignment (order!)
+            entry = {"bemerkungen": [], "jahr": t}
             if t1:
                 for cur2 in t1.split("<br>"):
                     t2 = tu.html_text_to_text(cur2).strip()
@@ -967,9 +970,9 @@ def parse_ergebnisabfuehrung(tables_parsed, tables_arr, rest, infos, callnumber,
     ret: list[dict] = []
     table = tables_parsed[0] if tables_parsed else None
     if not table:
-        # ref :1301 early-returns the bare array (skipping the wrapping),
-        # so Object.assign merges NOTHING — no ergebnisabfuehrung key
-        return {}
+        # ref :1301 early-returns the bare [] array (skipping the wrapping):
+        # Object.assign merges nothing, and JSON.stringify renders "[]"
+        return _JsArrayDict()
     if not mode:
         for i in range(len(table[0])):
             entry = {"jahr": "", "betrag": ""}

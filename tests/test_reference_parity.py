@@ -243,3 +243,30 @@ def test_lse_grid_parity_synth_sections(refrun_cwd):
                 lines.append(", ".join(str(v) for v in m.values()))
     assert len(lines) > 10
     assert _run_lse_parity(lines, refrun_cwd, name="synthafs") == []
+
+
+def test_disabled_matchers_skip_identically(refrun_cwd):
+    """The reference ships two DISABLED section parsers (parser.js:516
+    Beschäftigte 'obsolete', :552 legacy Aufsichtsrat variant). A page whose
+    lines would trigger them must parse identically — the sections simply
+    never fire — and the Beschäftigte checkfile stays empty in both engines."""
+    from akf_cdparser_ray.parsing.checkfiles import AuditSink, render_checkfiles
+    from akf_cdparser_ray.parsing.profile_parser import ProfileParser
+
+    html = synth.render_page(synth.gen_profile(4))
+    # inject a Beschäftigte table right before </body> — matched only by the
+    # disabled matcher (kennzahlen handles the enabled path elsewhere)
+    inject = (
+        "<br><b>Beschäftigte</b><table width=100%>\n"
+        "<td align=LEFT>1999</td>\n<td>1 234</td>\n</table>\n"
+    )
+    html = html.replace("</body>", inject + "</body>")
+    ref = run_reference(html, refrun_cwd)
+    ref_cf = _read_ref_checkfiles(refrun_cwd)
+    sink = AuditSink()
+    mine = ProfileParser(audit=sink).parse(html)
+    assert deep_diff(ref, mine) == []
+    assert "employee_stats" not in mine  # the disabled parser never ran
+    my_cf = render_checkfiles(sink.rows)
+    assert ref_cf["Checkfile_Bescheaftigte.txt"] == b""
+    assert my_cf["Checkfile_Bescheaftigte.txt"] == ""
