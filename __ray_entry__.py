@@ -374,6 +374,43 @@ def q_phash_neardup(_sf_dir: str):
     return phash_neardup_pairs(df, max_hamming=6, bands=8)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact all-pairs 3-gram Jaccard near-dup (block-nested-loop cross
+    join; the EXACT kernel the MinHash/LSH approximation targets). Integer
+    cross-multiplied threshold — fully hash-exact vs the DuckDB oracle."""
+    from akf_cdparser_ray.stages.crossjoin import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold_pct=50, n=3)
+
+
+def q_join_mktsegment(sf_dir: str):
+    """Broadcast-hash equi-join: orders ⋈ customer on custkey, counts per
+    (mktsegment, orderstatus) — the engine's skew-proof join shape."""
+    import pyarrow.parquet as pq
+
+    from akf_cdparser_ray.stages.crossjoin import broadcast_hash_join
+    from akf_cdparser_ray.stages.relational import partial_groupby_sum
+
+    customers = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    joined = broadcast_hash_join(orders, customers, key="o_custkey")
+
+    import pandas as pd
+
+    def one(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(n=1)[["c_mktsegment", "o_orderstatus", "n"]]
+
+    out = partial_groupby_sum(
+        joined.map_batches(one, batch_format="pandas"),
+        ["c_mktsegment", "o_orderstatus"], ["n"],
+    )
+    df = out.to_pandas()
+    return df[["c_mktsegment", "o_orderstatus", "n"]]
+
+
 def q_lse_report(sf_dir: str):
     """Line-segment separator analysis over document lines (rows-only)."""
     import pandas as pd
@@ -410,6 +447,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_smoke": q_crawl_smoke,
         "phash_neardup": q_phash_neardup,
         "lse_report": q_lse_report,
+        "ngram_jaccard": q_ngram_jaccard,
+        "join_mktsegment": q_join_mktsegment,
     }
 
 
@@ -493,5 +532,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT lower('Host' || (user_id % 7) || '.example') AS host,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(ws) - 2, 0) + 1),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+              FROM w WHERE len(ws) >= 3
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.sh, b.sh)) AS n_inter,
+                   len(list_distinct(a.sh || b.sh)) AS n_union
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 100
+                  >= 50 * len(list_distinct(a.sh || b.sh))
+        """,
+        "join_mktsegment": """
+            SELECT c.c_mktsegment, o.o_orderstatus, count(*) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
         """,
     }

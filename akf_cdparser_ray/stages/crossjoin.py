@@ -1,0 +1,104 @@
+"""Distributed exact all-pairs operators (block-nested-loop cross join).
+
+Exact n-gram-Jaccard near-dup is inherently O(N²): the scalable engine path
+for near-dup detection is MinHash/LSH banding (stages/dedup_text.py), and
+this operator exists as the EXACT kernel those approximations are measured
+against (it is the one near-dup operator with a DuckDB oracle). Shape:
+
+  1. a distributed projection pass shrinks every document to its sorted
+     distinct shingle list (tiny rows — the corpus text never moves again);
+  2. the projection's blocks stay in the object store
+     (``Dataset.to_arrow_refs`` — no driver materialization);
+  3. a Dataset of (block_i, block_j) index pairs fans the B·(B+1)/2
+     block-pair comparisons across the cluster; each task dereferences its
+     two blocks zero-copy and emits the pairs that pass the threshold.
+
+The threshold test is integer cross-multiplied (n_inter·100 ≥ pct·n_union)
+so the oracle comparison is exact — no float rounding anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _shingle_project(batch: pd.DataFrame, n: int) -> pd.DataFrame:
+    """documents batch → (doc_id, shingles) with shingles the sorted
+    distinct n-word-grams joined by NUL. Single-space split mirrors the
+    DuckDB oracle's string_split(text, ' ') exactly; docs with < n words
+    are dropped on both sides."""
+    ids, shs = [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+        words = str(text).split(" ")
+        if len(words) < n:
+            continue
+        grams = {" ".join(words[i: i + n]) for i in range(len(words) - n + 1)}
+        ids.append(int(doc_id))
+        shs.append("\x00".join(sorted(grams)))
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                         "shingles": pd.Series(shs, dtype="object")})
+
+
+def ngram_jaccard_pairs(docs_ds, *, threshold_pct: int = 50, n: int = 3,
+                        num_blocks: int = 8) -> pd.DataFrame:
+    """Exact all-pairs n-gram Jaccard near-dup: (doc_a, doc_b, n_inter,
+    n_union) for every pair with n_inter·100 ≥ threshold_pct·n_union."""
+    import ray
+    import ray.data as rd
+
+    sh = docs_ds.map_batches(
+        _shingle_project, fn_kwargs={"n": n}, batch_format="pandas"
+    ).repartition(num_blocks).materialize()  # B blocks → B·(B+1)/2 compare tasks
+    refs = sh.to_arrow_refs()  # blocks stay in the object store
+    nb = len(refs)
+    idx_pairs = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+
+    def compare(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for i, j in zip(batch["i"], batch["j"]):
+            left = ray.get(refs[int(i)]).to_pandas()
+            right = left if i == j else ray.get(refs[int(j)]).to_pandas()
+            lsets = [(int(d), frozenset(s.split("\x00")))
+                     for d, s in zip(left["doc_id"], left["shingles"])]
+            rsets = (lsets if i == j else
+                     [(int(d), frozenset(s.split("\x00")))
+                      for d, s in zip(right["doc_id"], right["shingles"])])
+            for da, sa in lsets:
+                for db, sb in rsets:
+                    if da >= db:
+                        continue
+                    inter = len(sa & sb)
+                    union = len(sa) + len(sb) - inter
+                    if inter * 100 >= threshold_pct * union:
+                        out_a.append(da)
+                        out_b.append(db)
+                        out_i.append(inter)
+                        out_u.append(union)
+        return pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "n_inter": pd.Series(out_i, dtype="int64"),
+            "n_union": pd.Series(out_u, dtype="int64"),
+        })
+
+    out = (
+        rd.from_items(idx_pairs)
+        .map_batches(compare, batch_format="pandas", batch_size=1, num_cpus=1)
+        .to_pandas()  # verified pairs only — output-sized
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def broadcast_hash_join(large_ds, small_df: pd.DataFrame, key: str):
+    """Equi-join: broadcast the small side once (ray.put) and hash-merge it
+    inside each batch — the standard skew-proof alternative to an all-to-all
+    shuffle join when one side fits in memory."""
+    import ray
+
+    small_ref = ray.put(small_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(small_ref) if not isinstance(small_ref, pd.DataFrame) else small_ref
+        return batch.merge(small, on=key, how="inner")
+
+    return large_ds.map_batches(merge, batch_format="pandas")

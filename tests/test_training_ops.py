@@ -229,3 +229,49 @@ def test_embedding_neardup_distributed():
     df = pd.DataFrame({"vec_id": range(60), "embedding": list(vecs)})
     out = embedding_neardup_pairs(rd.from_pandas(df), threshold=0.98, nbits=4, concurrency=1)
     assert (3, 30) in set(zip(out["vec_a"], out["vec_b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_blockwise_exact():
+    """The block-nested-loop cross join finds exactly the pairs a direct
+    all-pairs scan finds, for any block count."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.crossjoin import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [base, base + " extra", "totally different words here now folks",
+                 base.replace("beta", "BETA"), "a b", base, 
+                 "alpha beta gamma", "x y z w v u t s r q"],
+    })
+    got = ngram_jaccard_pairs(rd.from_pandas(docs), threshold_pct=50, num_blocks=3)
+    # direct reference scan
+    def sh(t):
+        w = t.split(" ")
+        return frozenset(" ".join(w[i:i+3]) for i in range(len(w)-2)) if len(w) >= 3 else None
+    exact = []
+    shs = {i: sh(t) for i, t in zip(docs["doc_id"], docs["text"])}
+    for a in range(8):
+        for b in range(a+1, 8):
+            if shs[a] is None or shs[b] is None:
+                continue
+            inter = len(shs[a] & shs[b]); union = len(shs[a] | shs[b])
+            if inter * 100 >= 50 * union:
+                exact.append((a, b, inter, union))
+    assert sorted(zip(got["doc_a"], got["doc_b"], got["n_inter"], got["n_union"])) == sorted(exact)
+    assert (0, 5) in {(a, b) for a, b, *_ in exact}  # identical docs pair found
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_hash_join():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.crossjoin import broadcast_hash_join
+
+    large = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2, 9], "v": list("abcde")}))
+    small = pd.DataFrame({"k": [1, 2], "s": ["x", "y"]})
+    out = broadcast_hash_join(large, small, key="k").to_pandas()
+    assert sorted(zip(out["k"], out["v"], out["s"])) == [
+        (1, "a", "x"), (2, "b", "y"), (2, "d", "y")]
