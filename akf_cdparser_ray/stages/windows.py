@@ -105,3 +105,63 @@ def anti_join_new_users(events_ds, known_keys) -> pd.DataFrame:
     if out.empty:
         return pd.DataFrame({"user_id": pd.Series(dtype="int64")})
     return out.drop_duplicates().sort_values("user_id").reset_index(drop=True)
+
+
+def asof_join_partitioned(events_ds, orders_ds, num_shards: int = 8) -> pd.DataFrame:
+    """Range/key-partitioned as-of join — the 100-TB path when the right
+    side does NOT fit in memory: both sides shuffle once on
+    ``key % num_shards`` (events carry only their join projection), then
+    each shard group runs a local sorted ``merge_asof``. Equivalent to
+    :func:`asof_join_events_orders` (tested), with shuffle volume =
+    |events projection| + |orders| instead of a per-task broadcast.
+
+    Hot-key note: a single customer's rows land in one shard; salt the key
+    and replicate that customer's orders per salt if one key dominates."""
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["event_id", "user_id", "ts"]].copy()
+        out["shard"] = (out["user_id"] % num_shards).astype("int64")
+        out["side"] = 0
+        out["o_custkey"] = -1
+        out["o_orderdate"] = pd.NaT
+        return out
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_id": -1,
+            "user_id": -1,
+            "ts": pd.NaT,
+            "shard": (batch["o_custkey"] % num_shards).astype("int64"),
+            "side": 1,
+            "o_custkey": batch["o_custkey"],
+            "o_orderdate": batch["o_orderdate"],
+        })
+        return out
+
+    def join_shard(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["side"] == 0][["event_id", "user_id", "ts"]]
+        right = group[group["side"] == 1][["o_custkey", "o_orderdate"]]
+        if left.empty or right.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[ns]"),
+            })
+        joined = pd.merge_asof(
+            left.sort_values("ts").reset_index(drop=True),
+            right.sort_values("o_orderdate").reset_index(drop=True),
+            left_on="ts", right_on="o_orderdate",
+            left_by="user_id", right_by="o_custkey",
+            direction="backward",
+        ).dropna(subset=["o_orderdate"])
+        return joined[["event_id", "user_id", "o_orderdate"]]
+
+    left_ds = events_ds.map_batches(tag_left, batch_format="pandas")
+    right_ds = orders_ds.map_batches(tag_right, batch_format="pandas")
+    out = (
+        left_ds.union(right_ds)
+        .groupby("shard")
+        .map_groups(join_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -275,3 +275,30 @@ def test_broadcast_hash_join():
     out = broadcast_hash_join(large, small, key="k").to_pandas()
     assert sorted(zip(out["k"], out["v"], out["s"])) == [
         (1, "a", "x"), (2, "b", "y"), (2, "d", "y")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_partitioned_equivalent():
+    """The range-partitioned as-of join (the big-right-side path) returns
+    exactly what the broadcast variant returns."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.windows import (
+        asof_join_events_orders, asof_join_partitioned,
+    )
+
+    rng = np.random.default_rng(7)
+    ev = pd.DataFrame({
+        "event_id": range(300),
+        "user_id": rng.integers(0, 40, 300),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 10_000, 300), "m"),
+    })
+    orders = pd.DataFrame({
+        "o_custkey": rng.integers(0, 40, 120),
+        "o_orderdate": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 10_000, 120), "m"),
+    })
+    a = asof_join_events_orders(rd.from_pandas(ev), orders)
+    b = asof_join_partitioned(rd.from_pandas(ev), rd.from_pandas(orders), num_shards=5)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
+    )
