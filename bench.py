@@ -167,6 +167,39 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def stats() -> None:
+    """Print the headline pipeline's per-operator ds.stats() breakdown —
+    the wall-time-in-useful-compute check the scale brief asks for."""
+    import ray
+    import ray.data as rd
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    os.environ.setdefault("AKF_PICKLE_BY_VALUE", "0")
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    sys.path.insert(0, repo)
+    import __ray_entry__  # noqa: F401
+    from akf_cdparser_ray.sources.synth import page_url_for_idx
+    from akf_cdparser_ray.stages.cached import cached_fetch_batch, cached_parse_batch
+    from akf_cdparser_ray.stages.links import canonicalize_url
+
+    n = min(N_PAGES, 20000)
+    urls = [canonicalize_url(page_url_for_idx(i)) for i in range(n)]
+    ds = rd.from_items([{"url_canon": u, "depth": 0} for u in urls],
+                       override_num_blocks=128)
+    out = (
+        ds.map_batches(cached_fetch_batch(n), batch_format="pyarrow",
+                       batch_size=128, num_cpus=1)
+        .map_batches(cached_parse_batch(), batch_format="pyarrow",
+                     batch_size=128, num_cpus=1)
+        .map_batches(_count_batch, batch_format="pyarrow", num_cpus=1)
+    )
+    out.count()
+    print(out.stats())
+    ray.shutdown()
+
+
 def main() -> None:
     import ray
 
@@ -226,12 +259,14 @@ def scaling() -> None:
         if shutil.which("taskset") and (os.cpu_count() or 0) >= ncpu:
             cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         trials = []
-        for _trial in range(2):  # shared-sandbox noise is ±10%; take the best
+        for _trial in range(3):  # shared-sandbox noise swings ±20%; take the best
             out = subprocess.run(
                 cmd, env=env, capture_output=True, text=True, check=True
             ).stdout
             trials.append(json.loads(out.strip().splitlines()[-1]))
-        results[ncpu] = max(trials, key=lambda r: r["pages_per_sec"])
+        best = max(trials, key=lambda r: r["pages_per_sec"])
+        best["trials_pages_per_sec"] = [r["pages_per_sec"] for r in trials]
+        results[ncpu] = best
     thr8 = results[8]["pages_per_sec"]
     thr32 = results[32]["pages_per_sec"]
     eff = (thr32 / thr8) / (32 / 8)
@@ -244,6 +279,8 @@ def scaling() -> None:
                 "pages_per_sec_32": thr32,
                 "sec_8": results[8]["value"],
                 "sec_32": results[32]["value"],
+                "trials_8": results[8]["trials_pages_per_sec"],
+                "trials_32": results[32]["trials_pages_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "machine_parallel_ceiling": ceiling,
                 "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
@@ -274,12 +311,18 @@ def _machine_parallel_ceiling() -> float:
 
 
 if __name__ == "__main__":
+    if "--stats" in sys.argv:
+        stats()
+        raise SystemExit(0)
     if "--scaling" in sys.argv:
         scaling()
     else:
         if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
             import ray
 
+            repo = os.path.dirname(os.path.abspath(__file__))
+            os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+            os.environ.setdefault("AKF_PICKLE_BY_VALUE", "0")
             ray.init(
                 address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                 ignore_reinit_error=True, logging_level="ERROR",
