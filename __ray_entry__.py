@@ -411,6 +411,39 @@ def q_join_mktsegment(sf_dir: str):
     return df[["c_mktsegment", "o_orderstatus", "n"]]
 
 
+def q_audio_features(_sf_dir: str):
+    """Audio decode + feature extraction over a deterministic WAV corpus
+    (real RIFF/PCM decoder; rows-only — no SQL equivalent for DSP)."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.sources import av
+    from akf_cdparser_ray.stages.av_ops import AudioFeatures
+
+    clips = rd.from_items(
+        [{"audio_id": f"a{i:03d}", "bytes": av.synth_wav(i)} for i in range(32)]
+    )
+    return clips.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=2
+    ).to_pandas().sort_values("audio_id").reset_index(drop=True)
+
+
+def q_frame_sample(_sf_dir: str):
+    """Video frame sampling: decode every 4th frame of each clip, emit
+    per-frame metadata + phash (rows-only)."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.sources import av
+    from akf_cdparser_ray.stages.av_ops import FrameSample
+
+    clips = rd.from_items(
+        [{"video_id": f"v{i:03d}", "bytes": av.synth_framevideo(i)} for i in range(12)]
+    )
+    return clips.map_batches(
+        FrameSample, fn_constructor_kwargs={"every_k": 4},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas().sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+
+
 def q_lse_report(sf_dir: str):
     """Line-segment separator analysis over document lines (rows-only)."""
     import pandas as pd
@@ -449,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lse_report": q_lse_report,
         "ngram_jaccard": q_ngram_jaccard,
         "join_mktsegment": q_join_mktsegment,
+        "audio_features": q_audio_features,
+        "frame_sample": q_frame_sample,
     }
 
 

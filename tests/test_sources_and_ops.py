@@ -110,3 +110,75 @@ def test_image_ops(tmp_path):
     ).take_all()
     assert len(emb[0]["embedding"]) == 64
     assert set(np.unique(emb[0]["embedding"])) <= {-1.0, 1.0}
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """RIFF/WAV PCM: exact sample round-trip; decoder walks chunks (extra
+    chunk between fmt and data tolerated, word alignment respected)."""
+    import struct
+
+    from akf_cdparser_ray.sources import av
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-30000, 30000, size=1000, dtype=np.int16)
+    data = av.encode_wav(samples, sample_rate=8000)
+    back, rate, ch = av.decode_wav(data)
+    assert rate == 8000 and ch == 1
+    assert (back[:, 0] == samples).all()
+    # inject an odd-sized LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    data2 = data[:fmt_end] + extra + data[fmt_end:]
+    data2 = data2[:4] + struct.pack("<I", len(data2) - 8) + data2[8:]
+    back2, _, _ = av.decode_wav(data2)
+    assert (back2[:, 0] == samples).all()
+
+
+def test_framevideo_roundtrip_and_sampling():
+    from akf_cdparser_ray.sources import av
+
+    blob = av.synth_framevideo(5, n_frames=10)
+    all_frames = av.decode_framevideo(blob, every_k=1)
+    assert len(all_frames) == 10 and all_frames[0].shape == (24, 32, 3)
+    sampled = av.decode_framevideo(blob, every_k=4)
+    assert len(sampled) == 3  # frames 0, 4, 8
+    assert (sampled[1] == all_frames[4]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_av_ops_stages():
+    import ray.data as rd
+
+    from akf_cdparser_ray.sources import av
+    from akf_cdparser_ray.stages.av_ops import AudioFeatures, FrameSample
+
+    audio = rd.from_items([
+        {"audio_id": f"a{i}", "bytes": av.synth_wav(i)} for i in range(6)
+    ])
+    feats = audio.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=2, concurrency=1
+    ).to_pandas()
+    assert len(feats) == 6
+    assert (feats["duration_s"] - 0.5).abs().max() < 1e-6
+    assert (feats["rms"] > 0.1).all() and (feats["zcr"] > 0).all()
+
+    # explicit tones land in different folded spectral bands
+    t = np.arange(8000) / 16000.0
+    low = av.encode_wav((np.sin(2 * np.pi * 500 * t) * 30000).astype(np.int16))
+    high = av.encode_wav((np.sin(2 * np.pi * 6000 * t) * 30000).astype(np.int16))
+    tones = rd.from_items([
+        {"audio_id": "low", "bytes": low}, {"audio_id": "high", "bytes": high}
+    ]).map_batches(AudioFeatures, batch_format="pyarrow", concurrency=1).to_pandas()
+    by = dict(zip(tones["audio_id"], tones["dominant_band"]))
+    assert by["high"] > by["low"]
+
+    video = rd.from_items([
+        {"video_id": f"v{i}", "bytes": av.synth_framevideo(i)} for i in range(4)
+    ])
+    frames = video.map_batches(
+        FrameSample, fn_constructor_kwargs={"every_k": 4},
+        batch_format="pyarrow", batch_size=2, concurrency=1,
+    ).to_pandas()
+    assert len(frames) == 4 * 3  # 12 frames sampled every 4th
+    assert set(frames["frame_idx"]) == {0, 4, 8}
+    assert (frames["w"] == 32).all() and (frames["mean_luma"] > 0).all()
