@@ -47,12 +47,7 @@ import ray.data as rd
 from ..sources import io as aio
 from ..stages.cached import cached_fetch_batch, cached_parse_batch
 from ..stages.dedupe import ShardedSeenSet
-from ..stages.frontier import (
-    FRONTIER_COLS,
-    FRONTIER_SCHEMA,
-    empty_frontier_table as _empty_frontier_table,
-    sorted_frontier_table as _sorted_frontier_table,
-)
+from ..stages.frontier import FRONTIER_COLS
 from ..stages.links import canonicalize_url, extract_links_batch, host_of, url_hash64
 from ..stages.politeness_stage import PolitenessShard, host_shard
 
