@@ -450,10 +450,12 @@ def q_lse_report(sf_dir: str):
 
     from akf_cdparser_ray.stages.lse import separator_report
 
-    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_lines(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"line": batch["text"]})
+        # line_idx = doc_id gives the global first-occurrence order the JS
+        # insertion-order rebuild needs (see stages/lse.classify_batch)
+        return pd.DataFrame({"line": batch["text"], "line_idx": batch["doc_id"]})
 
     return separator_report(ds.map_batches(to_lines, batch_format="pandas"))
 

@@ -71,18 +71,30 @@ CONFIG: dict[str, tuple[str, bool]] = {
 }
 
 
+def _js_array_index(k: str) -> bool:
+    """JS array-index property: canonical non-negative integer < 2^32-1
+    (no leading zeros except '0'). Such keys iterate FIRST, in ascending
+    numeric order, regardless of insertion order."""
+    return k.isdigit() and (k == "0" or k[0] != "0") and int(k) < 4294967295
+
+
 def _to_jsonable(value):
     if value is JS_UNDEF:
         return JS_UNDEF
     if isinstance(value, dict):
         if isinstance(value, _JsArrayDict) or type(value).__name__ == "_JsArrayDict":
             return []  # JS Array used as a map: stringify loses the props
+        keys = [str(k) for k in value.keys()]
+        ordered = sorted((k for k in keys if _js_array_index(k)), key=int) + [
+            k for k in keys if not _js_array_index(k)
+        ]
+        by_str = {str(k): v for k, v in value.items()}
         out = {}
-        for k, v in value.items():
-            cv = _to_jsonable(v)
+        for k in ordered:
+            cv = _to_jsonable(by_str[k])
             if cv is JS_UNDEF:
                 continue  # undefined-valued keys vanish
-            out[str(k)] = cv
+            out[k] = cv
         return out
     if isinstance(value, (list, tuple)):
         out = []

@@ -145,6 +145,12 @@ class ProfileParser:
 
         ret: dict = {}
         self._counts: dict[str, int] = {}  # per-document section call counts (ST4)
+        # Checkfile_Index Diffindex state: the reference's module global
+        # carries across documents in FILE ORDER; a reused parser under Ray
+        # sees nondeterministic batch order, so reset per document (identical
+        # whenever AKF_PARSER_START fires first, which every sentinel'd page
+        # does; only a pre-sentinel section match could ever differ)
+        self._lastidx = 0
 
         ret["_fulltext"] = re.sub(
             r"<[^>]+>", "", _HEAD_RE.sub("", lines_str).replace("<br>", " ")
@@ -1122,7 +1128,10 @@ class ProfileParser:
                 break
         robj = pt.recognize_table_arrays(lines_kurse)
         tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
-        count = self._current_count("boersenbewertung")
+        # JS getCurrentCount yields undefined before any Börsenbewertung ran:
+        # the result key renders "boersenbewertungundefined" (no guard here,
+        # unlike Kennzahlen/Ergebnisabführung which coerce 0 → 1)
+        count = self._current_count("boersenbewertung") or "undefined"
         result = pt.parse_bereinigtekurse(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
         )
@@ -1163,7 +1172,7 @@ class ProfileParser:
                 break
         robj = pt.recognize_table_arrays(lines_div)
         tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
-        count = self._current_count("boersenbewertung")
+        count = self._current_count("boersenbewertung") or "undefined"  # JS undefined key
         result = pt.parse_dividenden(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], count
         )

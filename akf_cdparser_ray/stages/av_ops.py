@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..sources.av import decode_framevideo, decode_wav
+from ..sources.images import phash64
 
 
 class AudioFeatures:
@@ -67,8 +68,6 @@ class FrameSample:
         self.every_k = every_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sources.images import phash64
-
         vids, idxs, ws, hs, lumas, phs = [], [], [], [], [], []
         for vid, blob in zip(
             batch.column("video_id").to_pylist(), batch.column("bytes").to_pylist()

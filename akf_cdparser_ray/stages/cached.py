@@ -50,28 +50,3 @@ def cached_parse_batch(dictfiles_dir: str | None = None, with_residue: bool = Fa
 
     return fn
 
-
-def prewarm(num_workers: int, corpus_size: int, seed: int = 42) -> list:
-    """Fire-and-forget warm tasks that populate each worker process's cache
-    (dictionary load ≈0.3 s/process — paid before the first wave instead of
-    inside it). Returns the futures; callers may ignore them (the tasks pin
-    one CPU each so they spread over distinct workers)."""
-    import ray
-
-    from ..sources import synth
-    from .links import canonicalize_url
-
-    fetch_fn = cached_fetch_batch(corpus_size, seed)
-    parse_fn = cached_parse_batch()
-    url = canonicalize_url(synth.page_url_for_idx(0))
-
-    @ray.remote(num_cpus=1)
-    def _warm() -> int:
-        cols = {"url_canon": pa.array([url], pa.string()),
-                "depth": pa.array([0], pa.int64())}
-        fetched = fetch_fn(pa.table(cols))
-        mask = [s == "200" for s in fetched.column("fetch_status").to_pylist()]
-        parse_fn(fetched.filter(pa.array(mask)))
-        return 1
-
-    return [_warm.remote() for _ in range(num_workers)]

@@ -63,15 +63,26 @@ def ngram_jaccard_pairs(docs_ds, *, threshold_pct: int = 50, n: int = 3,
             rsets = (lsets if i == j else
                      [(int(d), frozenset(s.split("\x00")))
                       for d, s in zip(right["doc_id"], right["shingles"])])
+            same_block = i == j
             for da, sa in lsets:
                 for db, sb in rsets:
-                    if da >= db:
-                        continue
+                    # each unordered doc pair appears in exactly one block
+                    # pair; doc_ids need NOT be ordered across blocks, so
+                    # cross-block pairs are ordered here, and only the
+                    # same-block case uses da<db to halve the loop
+                    if same_block:
+                        if da >= db:
+                            continue
+                        lo, hi = da, db
+                    else:
+                        if da == db:
+                            continue
+                        lo, hi = (da, db) if da < db else (db, da)
                     inter = len(sa & sb)
                     union = len(sa) + len(sb) - inter
                     if inter * 100 >= threshold_pct * union:
-                        out_a.append(da)
-                        out_b.append(db)
+                        out_a.append(lo)
+                        out_b.append(hi)
                         out_i.append(inter)
                         out_u.append(union)
         return pd.DataFrame({

@@ -160,7 +160,15 @@ def sectors_from_aggregate(df: pd.DataFrame, zumstein: bool = False) -> list[dic
     (sector, key, ctr, first_seq): sorting each sector's keys by first_seq
     restores JS object-key insertion order."""
     sectors: list[dict] = [{} for _ in range(_segments(zumstein))]
-    for _i, row in df.sort_values("first_seq").iterrows():
+    # the aggregate is per (sector, key, TYPE); the sectors holder keys by
+    # (sector, key) only — merge counts across types (a word literally named
+    # 'NUMBER' shares the bucket with number tokens, as in the reference)
+    merged = (
+        df.groupby(["sector", "key"], sort=False)
+        .agg(ctr=("ctr", "sum"), first_seq=("first_seq", "min"))
+        .reset_index()
+    )
+    for _i, row in merged.sort_values("first_seq").iterrows():
         sectors[int(row["sector"])][row["key"]] = _occ(ctr=int(row["ctr"]))
     return sectors
 
@@ -366,8 +374,19 @@ def classify_batch(batch: pd.DataFrame, zumstein: bool = False) -> pd.DataFrame:
     ``seq`` preserves first-occurrence order for the insertion-order rebuild
     (requires a ``line_idx`` column; synthesized per-batch otherwise)."""
     sectors, keys, types, seqs = [], [], [], []
-    idxs = (batch["line_idx"] if "line_idx" in batch.columns
-            else pd.Series(range(len(batch))))
+    if "line_idx" in batch.columns:
+        idxs = batch["line_idx"]
+    else:
+        # no global order available: derive a DETERMINISTIC pseudo-order
+        # from the line content (order-free, so block scheduling cannot
+        # change the rebuilt insertion order; exact JS order fidelity
+        # requires callers to pass line_idx)
+        import hashlib as _h
+
+        idxs = pd.Series([
+            int.from_bytes(_h.blake2b(str(l).encode(), digest_size=6).digest(), "big")
+            for l in batch["line"].fillna("")
+        ])
     for line_idx, line in zip(idxs, batch["line"].fillna("")):
         for elem_idx, (typ, key, sector) in enumerate(
             classify_line(str(line), zumstein=zumstein)

@@ -241,7 +241,9 @@ def test_ngram_jaccard_blockwise_exact():
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     docs = pd.DataFrame({
-        "doc_id": range(8),
+        # deliberately NON-monotonic doc_ids so pairs whose smaller id lives
+        # in a later block are exercised (regression: cross-block ordering)
+        "doc_id": [99, 1, 52, 3, 104, 5, 86, 7],
         "text": [base, base + " extra", "totally different words here now folks",
                  base.replace("beta", "BETA"), "a b", base, 
                  "alpha beta gamma", "x y z w v u t s r q"],
@@ -253,15 +255,17 @@ def test_ngram_jaccard_blockwise_exact():
         return frozenset(" ".join(w[i:i+3]) for i in range(len(w)-2)) if len(w) >= 3 else None
     exact = []
     shs = {i: sh(t) for i, t in zip(docs["doc_id"], docs["text"])}
-    for a in range(8):
-        for b in range(a+1, 8):
+    ids = sorted(shs)
+    for x in range(len(ids)):
+        for y in range(x+1, len(ids)):
+            a, b = ids[x], ids[y]
             if shs[a] is None or shs[b] is None:
                 continue
             inter = len(shs[a] & shs[b]); union = len(shs[a] | shs[b])
             if inter * 100 >= 50 * union:
                 exact.append((a, b, inter, union))
     assert sorted(zip(got["doc_a"], got["doc_b"], got["n_inter"], got["n_union"])) == sorted(exact)
-    assert (0, 5) in {(a, b) for a, b, *_ in exact}  # identical docs pair found
+    assert (5, 99) in {(a, b) for a, b, *_ in exact}  # identical docs pair found
 
 
 @pytest.mark.usefixtures("ray_session")
