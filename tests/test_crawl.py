@@ -185,3 +185,28 @@ def test_politeness_caps_hot_host(tmp_path):
     host0_allowed = sum(1 for (_w, _s, u) in s["trace"] if "host0.example" in u)
     assert host0_allowed <= 8  # per-wave budget x salt rounding ceiling
     assert c["deferred"] >= 0
+
+
+def test_cuckoo_membership_insertion_order_independent():
+    """The replay invariant relies on this: a query probes both of its
+    candidate buckets, and an entry's two possible homes form the same
+    closed set, so WHICH bucket an entry landed in (insertion order,
+    eviction history) cannot change any membership answer — including
+    false positives."""
+    import random
+
+    hs = [url_hash64(f"http://h{i}.example/{i}") for i in range(3000)]
+    probes = [url_hash64(f"http://probe{i}.example/x{i}") for i in range(20000)]
+    f1 = CuckooFilter(capacity=8192)
+    f2 = CuckooFilter(capacity=8192)
+    for h in hs:
+        f1.add(h)
+    shuffled = hs[:]
+    random.Random(99).shuffle(shuffled)
+    for h in shuffled:
+        f2.add(h)
+    # different table bytes (layout differs), identical membership answers
+    assert f1.contains_many(np.array(hs, dtype=np.uint64)).all()
+    assert f2.contains_many(np.array(hs, dtype=np.uint64)).all()
+    p = np.array(probes, dtype=np.uint64)
+    assert (f1.contains_many(p) == f2.contains_many(p)).all()
