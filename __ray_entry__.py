@@ -257,6 +257,23 @@ def q_asof_join(sf_dir: str):
     return asof_join_events_orders(ds, orders)
 
 
+def q_sessionize(sf_dir: str):
+    """Per-user session counts (30-min gap rule) — the classic streaming
+    sessionization expressed as a hash-partitioned map_groups."""
+    from akf_cdparser_ray.stages.windows import sessionize_counts
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return sessionize_counts(ds, gap_minutes=30)
+
+
+def q_grouped_median(sf_dir: str):
+    """Exact per-type discrete median of event values (quantile_disc rule)."""
+    from akf_cdparser_ray.stages.windows import grouped_median
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_median(ds)
+
+
 def q_topk_per_shard(sf_dir: str):
     """Frontier-dequeue pattern: per-shard priority top-k, deterministic
     tie-breaks (the crawl dequeue expressed relationally)."""
@@ -475,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "window_hourly": q_window_hourly,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "grouped_median": q_grouped_median,
         "topk_per_shard": q_topk_per_shard,
         "anti_join": q_anti_join,
         "host_counts": q_host_counts,
@@ -549,6 +568,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, o.o_orderdate
             FROM events e ASOF JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "grouped_median": """
+            SELECT event_type, quantile_disc(value, 0.5) AS median_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "topk_per_shard": """
             SELECT shard, event_id, round(value, 6) AS value, rank FROM (

@@ -165,3 +165,49 @@ def asof_join_partitioned(events_ds, orders_ds, num_shards: int = 8) -> pd.DataF
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def sessionize_counts(events_ds, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization: per user, events sorted by (ts, event_id) start a new
+    session when the gap to the previous event exceeds ``gap_minutes``.
+    Hash-partitioned ``groupby(user_id).map_groups`` — each user's timeline
+    is processed whole on one worker (the partitioning assumption); output
+    is the per-user (n_sessions, n_events) rollup, all-integer so the SQL
+    oracle comparison is exact."""
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        gaps = g["ts"].diff()
+        new_sess = (gaps.isna() | (gaps > pd.Timedelta(minutes=gap_minutes))).sum()
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [int(new_sess)],
+            "n_events": [len(g)],
+        })
+
+    out = (
+        events_ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def grouped_median(events_ds, key: str = "event_type", col: str = "value") -> pd.DataFrame:
+    """Exact per-group discrete median: ``groupby(key).map_groups`` sorts the
+    group and picks index floor(0.5·(n-1)) — DuckDB's quantile_disc rule, so
+    the oracle match is bit-exact (the value is an actual data element, not
+    an interpolation). Exact quantiles need the whole group on one worker;
+    the streaming-scale alternative is a mergeable sketch (t-digest)."""
+
+    def med(group: pd.DataFrame) -> pd.DataFrame:
+        vals = group[col].sort_values().to_numpy()
+        idx = int(0.5 * (len(vals) - 1))
+        return pd.DataFrame({
+            key: [group[key].iloc[0]],
+            "median_value": [float(vals[idx])],
+            "n": [len(vals)],
+        })
+
+    out = events_ds.groupby(key).map_groups(med, batch_format="pandas").to_pandas()
+    return out.sort_values(key).reset_index(drop=True)

@@ -306,3 +306,29 @@ def test_asof_join_partitioned_equivalent():
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True), check_dtype=False
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_and_grouped_median():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.windows import grouped_median, sessionize_counts
+
+    ev = pd.DataFrame({
+        "event_id": range(6),
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 11:00",  # gap>30m → 2 sessions
+            "2024-01-01 09:00", "2024-01-01 09:29", "2024-01-01 09:59",  # gaps 29/30m → 1 session
+        ]),
+        "event_type": ["a", "a", "b", "b", "a", "b"],
+        "value": [5.0, 1.0, 3.0, 2.0, 4.0, 6.0],
+    })
+    s = sessionize_counts(rd.from_pandas(ev), gap_minutes=30)
+    by = dict(zip(s["user_id"], s["n_sessions"]))
+    assert by == {1: 2, 2: 1}  # 30m exactly is NOT a new session (strict >)
+
+    m = grouped_median(rd.from_pandas(ev), key="event_type", col="value")
+    got = dict(zip(m["event_type"], m["median_value"]))
+    # quantile_disc rule: idx = floor(0.5*(n-1)) of the ascending sort
+    assert got == {"a": 4.0, "b": 3.0}  # a: [1,4,5]→4; b: [2,3,6]→3
