@@ -70,6 +70,7 @@ class CrawlConfig:
     batch_size: int = 32
     seed: int = 42
     keep_trace: bool = True        # in-memory trace for summary(); segments on disk either way
+    frontier_spill_rows: int | None = None  # per-shard in-memory cap; tail spills to parquet
 
 
 def _seed_frontier(cfg: CrawlConfig) -> pd.DataFrame:
@@ -99,7 +100,12 @@ _CTR_KEYS = [
 class CrawlJob:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
-        self.seen = ShardedSeenSet(cfg.num_shards, cfg.filter_capacity)
+        self.seen = ShardedSeenSet(
+            cfg.num_shards, cfg.filter_capacity,
+            spill_threshold=cfg.frontier_spill_rows,
+            spill_dir=(os.path.join(cfg.out_dir, "spill")
+                       if cfg.frontier_spill_rows is not None else None),
+        )
         self.gates = [PolitenessShard.remote(cfg.budgets) for _ in range(cfg.num_politeness_shards)]
         self.wave = 0
         self.counters: list[dict] = []

@@ -23,6 +23,8 @@ test corpus size.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -55,12 +57,19 @@ class FrontierShard:
     two candidate buckets form a set closed under ``i ^ hash(fp)``, so a
     query sees the fingerprint wherever it landed)."""
 
-    def __init__(self, capacity: int = 1 << 16):
+    def __init__(self, capacity: int = 1 << 16, spill_threshold: int | None = None,
+                 spill_path: str | None = None):
         self.filter = CuckooFilter(capacity)
         self.pending: dict[int, tuple] = {}
         self.offered = 0
         self.runs: list[pd.DataFrame] = []
         self.max_runs = 8  # compact when exceeded (amortized O(log) merges)
+        # disk spill: keep only the sorted HEAD in memory, the tail on
+        # parquet; None = unbounded memory (test scale)
+        self.spill_threshold = spill_threshold
+        self.spill_path = spill_path
+        self.spill_rows = 0
+        self.spill_max_key: tuple | None = None  # (-priority, url_canon) of spill head
 
     # -- URL-seen membership ------------------------------------------------
     def check_and_add(self, hashes: list[int]) -> list[bool]:
@@ -122,6 +131,7 @@ class FrontierShard:
             self.runs.append(run)
         if len(self.runs) > self.max_runs:
             self._compact()
+        self._maybe_spill()
 
     def _compact(self) -> pd.DataFrame:
         merged = (
@@ -132,6 +142,51 @@ class FrontierShard:
         self.runs = [merged] if len(merged) else []
         return merged
 
+    # -- disk spill (head-in-memory / sorted tail on parquet) ---------------
+    def _mem_rows(self) -> int:
+        return sum(len(r) for r in self.runs)
+
+    def _maybe_spill(self) -> None:
+        if self.spill_threshold is None or self._mem_rows() <= self.spill_threshold:
+            return
+        merged = self._compact()
+        head_n = max(1, self.spill_threshold // 2)
+        head, tail = merged.iloc[:head_n], merged.iloc[head_n:]
+        if self.spill_rows:  # merge with the existing spilled tail
+            prev = pq.read_table(self.spill_path).to_pandas()
+            prev["url_hash"] = prev["url_hash"].astype(np.uint64)
+            tail = _sort_run(pd.concat([tail, prev], ignore_index=True))
+        pq.write_table(sorted_frontier_table(tail), self.spill_path)
+        self.spill_rows = len(tail)
+        self.spill_max_key = ((-int(tail["priority"].iloc[0]), tail["url_canon"].iloc[0])
+                              if len(tail) else None)
+        self.runs = [head.reset_index(drop=True)] if len(head) else []
+
+    def _unspill(self) -> None:
+        """Load the spilled tail back (rare: only when the in-memory head
+        drains to the spill boundary)."""
+        if not self.spill_rows:
+            return
+        tail = pq.read_table(self.spill_path).to_pandas()
+        tail["url_hash"] = tail["url_hash"].astype(np.uint64)
+        self.runs.append(tail)
+        self.spill_rows = 0
+        self.spill_max_key = None
+        os.remove(self.spill_path)
+
+    def _spill_may_beat(self, k: int) -> bool:
+        """True when the spilled tail could contain one of the global top-k
+        (conservative: compares the spill's best key to the in-memory k-th)."""
+        if not self.spill_rows:
+            return False
+        if self._mem_rows() < k:
+            return True
+        heads = pd.concat([r.head(k) for r in self.runs])
+        order = heads.sort_values(["priority", "url_canon"],
+                                  ascending=[False, True], kind="mergesort").head(k)
+        kth = (-int(order["priority"].iloc[-1]), order["url_canon"].iloc[-1])
+        return self.spill_max_key is not None and self.spill_max_key < kth
+
     def seed(self, rows: pd.DataFrame) -> int:
         """Initial frontier rows for this shard (seeds are pre-deduped by
         the driver through check_and_add)."""
@@ -141,7 +196,10 @@ class FrontierShard:
 
     def dequeue(self, k: int) -> pa.Table:
         """Remove and return the shard's top-k rows (priority desc, url
-        asc): merge the sorted run heads — never a full re-sort."""
+        asc): merge the sorted run heads — never a full re-sort. Reloads the
+        spilled tail only when it could contain a top-k row."""
+        if self._spill_may_beat(k):
+            self._unspill()
         if not self.runs or k <= 0:
             return empty_frontier_table()
         heads = pd.concat([r.head(k) for r in self.runs], keys=range(len(self.runs)))
@@ -168,27 +226,32 @@ class FrontierShard:
         return len(rows)
 
     def frontier_size(self) -> int:
-        return sum(len(r) for r in self.runs)
+        return self._mem_rows() + self.spill_rows
 
     # -- checkpoint ---------------------------------------------------------
     def checkpoint(self, frontier_path: str, filter_path: str) -> int:
         """Worker-side checkpoint write: compact the queue to one sorted run
         → the shard's frontier parquet, plus the filter page. Returns the
         shard's frontier row count."""
+        self._unspill()  # checkpoint = the FULL frontier, resume-compatible
         merged = self._compact()
         pq.write_table(sorted_frontier_table(merged) if len(merged)
                        else empty_frontier_table(), frontier_path)
         with open(filter_path, "wb") as f:
             f.write(self.filter.serialize())
+        self._maybe_spill()  # re-split head/tail for the next wave
         return len(merged)
 
     def restore(self, frontier_path: str, filter_path: str) -> int:
         with open(filter_path, "rb") as f:
             self.filter = deserialize_filter(f.read())
         df = pq.read_table(frontier_path).to_pandas()
+        self.spill_rows = 0
+        self.spill_max_key = None
         if len(df):
             df["url_hash"] = df["url_hash"].astype(np.uint64)
             self.runs = [df]
+            self._maybe_spill()
         else:
             self.runs = []
         self.pending = {}
@@ -216,11 +279,18 @@ FilterShard = FrontierShard
 class ShardedSeenSet:
     """Driver-side handle over the S filter/frontier shards."""
 
-    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 16):
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 16,
+                 spill_threshold: int | None = None, spill_dir: str | None = None):
         self.num_shards = num_shards
+        if spill_threshold is not None:
+            assert spill_dir, "spill_threshold requires spill_dir"
+            os.makedirs(spill_dir, exist_ok=True)
         self.shards = [
-            FrontierShard.options(name=None).remote(capacity_per_shard)
-            for _ in range(num_shards)
+            FrontierShard.options(name=None).remote(
+                capacity_per_shard, spill_threshold,
+                os.path.join(spill_dir, f"spill-shard{s}.parquet") if spill_dir else None,
+            )
+            for s in range(num_shards)
         ]
 
     def _route(self, hashes: np.ndarray) -> list[np.ndarray]:

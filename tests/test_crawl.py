@@ -210,3 +210,65 @@ def test_cuckoo_membership_insertion_order_independent():
     assert f2.contains_many(np.array(hs, dtype=np.uint64)).all()
     p = np.array(probes, dtype=np.uint64)
     assert (f1.contains_many(p) == f2.contains_many(p)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_spill_equivalent():
+    """A FrontierShard with a tiny in-memory cap (tail spilled to parquet)
+    must produce exactly the dequeue sequence of an unbounded shard."""
+    import ray
+
+    from akf_cdparser_ray.stages.dedupe import FrontierShard
+
+    def frontier(n, start=0, prio_mod=13):
+        import pandas as pd
+
+        rows = []
+        for i in range(start, start + n):
+            url = f"http://h{i % 9}.example/{i}.html"
+            rows.append({"url_canon": url, "url_hash": np.uint64(url_hash64(url)),
+                         "host": f"h{i % 9}.example", "priority": 100 - (i % prio_mod),
+                         "depth": i % 4, "discovered_at": 0})
+        return __import__("pandas").DataFrame(rows)
+
+    import tempfile
+    d = tempfile.mkdtemp(prefix="spill_")
+    plain = FrontierShard.remote(1 << 14)
+    spilly = FrontierShard.remote(1 << 14, 40, f"{d}/sp.parquet")
+    seq_a, seq_b = [], []
+    for shard, seq in ((plain, seq_a), (spilly, seq_b)):
+        ray.get(shard.seed.remote(frontier(150)))
+        seq.append(ray.get(shard.dequeue.remote(20)).to_pydict()["url_canon"])
+        ray.get(shard.defer.remote(frontier(30, start=300, prio_mod=7)))
+        seq.append(ray.get(shard.dequeue.remote(25)).to_pydict()["url_canon"])
+        ray.get(shard.seed.remote(frontier(60, start=500)))
+        for _ in range(8):
+            seq.append(ray.get(shard.dequeue.remote(30)).to_pydict()["url_canon"])
+        seq.append(ray.get(shard.frontier_size.remote()))
+    assert seq_a == seq_b
+    # checkpoint bytes identical too (spill reloads into the full write)
+    pa_, pb_ = f"{d}/a.parquet", f"{d}/b.parquet"
+    fa_, fb_ = f"{d}/a.page", f"{d}/b.page"
+    ray.get(plain.checkpoint.remote(pa_, fa_))
+    ray.get(spilly.checkpoint.remote(pb_, fb_))
+    assert open(pa_, "rb").read() == open(pb_, "rb").read()
+    for s in (plain, spilly):
+        ray.kill(s)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_with_spill_replays_identically(tmp_path):
+    from akf_cdparser_ray.pipelines.crawl import CrawlJob
+
+    ref = CrawlJob(_mk_cfg(tmp_path, "nospill"))
+    sref = ref.run()
+    ref.shutdown()
+    spill = CrawlJob(_mk_cfg(tmp_path, "spill", frontier_spill_rows=8))
+    sspill = spill.run()
+    spill.shutdown()
+    assert sref["trace"] == sspill["trace"]
+    assert sref["counters"] == sspill["counters"]
+    assert sref["seen_total"] == sspill["seen_total"]
+    pref = aio.read_partitions(str(tmp_path / "nospill" / "pairs"))
+    pspl = aio.read_partitions(str(tmp_path / "spill" / "pairs"))
+    assert pref.equals(pspl)
