@@ -461,6 +461,42 @@ def q_frame_sample(_sf_dir: str):
     ).to_pandas().sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
 
 
+def q_revenue_by_status(sf_dir: str):
+    """Big-x-big shuffle join (lineitem x orders on orderkey, neither side
+    broadcast) -> revenue per order status. Integer-cent arithmetic keeps
+    the oracle hash-exact (same recipe as pricing_summary)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from akf_cdparser_ray.stages.crossjoin import shuffle_hash_join
+    from akf_cdparser_ray.stages.relational import partial_groupby_sum
+
+    lineitem = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        rmode = {"round_mode": "half_towards_infinity"}
+        rev_c = pc.cast(pc.round(pc.multiply(
+            pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])),
+            100.0), **rmode), pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_c": rev_c})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = shuffle_hash_join(
+        lineitem.map_batches(cents, batch_format="pyarrow"), orders,
+        left_key="l_orderkey", right_key="o_orderkey",
+    )
+    out = partial_groupby_sum(
+        joined.map_batches(
+            lambda b: b[["o_orderstatus", "rev_c"]], batch_format="pandas"
+        ),
+        ["o_orderstatus"], ["rev_c"], count_alias="n_lineitems",
+    )
+    df = out.to_pandas()
+    df["revenue"] = df.pop("rev_c") / 100.0
+    return df[["o_orderstatus", "revenue", "n_lineitems"]]
+
+
 def q_lse_report(sf_dir: str):
     """Line-segment separator analysis over document lines (rows-only)."""
     import pandas as pd
@@ -501,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_smoke": q_crawl_smoke,
         "phash_neardup": q_phash_neardup,
         "lse_report": q_lse_report,
+        "revenue_by_status": q_revenue_by_status,
         "ngram_jaccard": q_ngram_jaccard,
         "join_mktsegment": q_join_mktsegment,
         "audio_features": q_audio_features,
@@ -605,6 +642,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lower('Host' || (user_id % 7) || '.example') AS host,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "revenue_by_status": """
+            SELECT o.o_orderstatus,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                            AS BIGINT)) / 100.0 AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
         """,
         "ngram_jaccard": """
             WITH w AS (

@@ -332,3 +332,23 @@ def test_sessionize_and_grouped_median():
     got = dict(zip(m["event_type"], m["median_value"]))
     # quantile_disc rule: idx = floor(0.5*(n-1)) of the ascending sort
     assert got == {"a": 4.0, "b": 3.0}  # a: [1,4,5]→4; b: [2,3,6]→3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_hash_join():
+    """Co-partitioned big-x-big join matches a pandas merge exactly."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.crossjoin import shuffle_hash_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"l_k": rng.integers(0, 50, 400), "lv": np.arange(400)})
+    right = pd.DataFrame({"r_k": rng.integers(0, 50, 120), "rv": np.arange(120) * 10})
+    got = shuffle_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_key="l_k", right_key="r_k", num_buckets=7,
+    ).to_pandas()
+    want = left.assign(_jk=left["l_k"]).merge(
+        right.assign(_jk=right["r_k"]), on="_jk").drop(columns=["_jk"])
+    assert sorted(map(tuple, got[["l_k", "lv", "r_k", "rv"]].to_numpy().tolist())) == \
+           sorted(map(tuple, want[["l_k", "lv", "r_k", "rv"]].to_numpy().tolist()))
