@@ -236,6 +236,15 @@ def q_ann_topk(sf_dir: str):
     return bruteforce_topk(ds, {qid: lookup[qid] for qid in _ANN_QUERY_IDS}, k=10)
 
 
+def q_knn_join(sf_dir: str):
+    """kNN self-join: every vector's top-5 cosine neighbors (blocked matmul
+    + distributed top-k merge)."""
+    from akf_cdparser_ray.stages.ann import knn_join
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_join(ds, k=5)
+
+
 def q_window_hourly(sf_dir: str):
     """Tumbling 1h windows per event_type (count + sum)."""
     from akf_cdparser_ray.stages.windows import tumbling_window_counts
@@ -526,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
+        "knn_join": q_knn_join,
         "window_hourly": q_window_hourly,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -595,6 +605,17 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM embeddings e CROSS JOIN q
             ) WHERE rank <= 10
+        """,
+        "knn_join": """
+            SELECT vec_id, neighbor, rank FROM (
+                SELECT a.vec_id, b.vec_id AS neighbor,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                                    b.vec_id
+                       ) AS rank
+                FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            ) WHERE rank <= 5
         """,
         "window_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -89,3 +89,74 @@ def lsh_topk(emb_ds, query_vectors: dict, k: int = 10, nbits: int = 8, concurren
 
     cand = emb_ds.map_batches(filter_bucket, batch_format="pandas")
     return bruteforce_topk(cand, query_vectors, k, concurrency)
+
+
+def knn_join(emb_ds, *, k: int = 5, num_blocks: int = 8) -> pd.DataFrame:
+    """Batch similarity search: for EVERY vector, its top-k cosine
+    neighbors (self excluded) — the kNN self-join. Distributed as a blocked
+    matmul: the normalized projection's blocks stay in the object store
+    (``to_arrow_refs``); B² block-pair tasks each compute one
+    (rows_i × rows_j) similarity tile and emit per-left-row local top-k
+    candidates; ``groupby(vec_id).map_groups`` merges candidates into the
+    global top-k. Only (vec_id, neighbor, sim) candidate rows shuffle —
+    k·N rows per block column, never the embeddings."""
+    import ray.data as rd
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64"),
+            "unit": [row.tobytes() for row in mat],
+            "dim": mat.shape[1],
+        })
+
+    proj = emb_ds.map_batches(project, batch_format="pandas").repartition(
+        num_blocks
+    ).materialize()
+    refs = proj.to_arrow_refs()
+    nb = len(refs)
+
+    def tile(batch: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_n, out_s = [], [], []
+        for i, j in zip(batch["i"], batch["j"]):
+            lt = ray.get(refs[int(i)]).to_pandas()
+            rt = lt if i == j else ray.get(refs[int(j)]).to_pandas()
+            dim = int(lt["dim"].iloc[0])
+            L = np.frombuffer(b"".join(lt["unit"]), dtype=np.float64).reshape(-1, dim)
+            R = (L if i == j else
+                 np.frombuffer(b"".join(rt["unit"]), dtype=np.float64).reshape(-1, dim))
+            lids = lt["vec_id"].to_numpy()
+            rids = rt["vec_id"].to_numpy()
+            sims = L @ R.T
+            for row in range(len(lids)):
+                col = sims[row]
+                mask = rids != lids[row]  # exclude self
+                cids, csims = rids[mask], col[mask]
+                kk = min(k, len(cids))
+                idx = np.lexsort((cids, -csims))[:kk]
+                out_v.extend([int(lids[row])] * kk)
+                out_n.extend(int(c) for c in cids[idx])
+                out_s.extend(float(x) for x in csims[idx])
+        return pd.DataFrame({
+            "vec_id": pd.Series(out_v, dtype="int64"),
+            "neighbor": pd.Series(out_n, dtype="int64"),
+            "sim": pd.Series(out_s, dtype="float64"),
+        })
+
+    pairs = [{"i": i, "j": j} for i in range(nb) for j in range(nb)]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g[["vec_id", "neighbor", "rank"]]
+
+    out = (
+        rd.from_items(pairs)
+        .map_batches(tile, batch_format="pandas", batch_size=1, num_cpus=1)
+        .groupby("vec_id")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)

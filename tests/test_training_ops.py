@@ -352,3 +352,28 @@ def test_shuffle_hash_join():
         right.assign(_jk=right["r_k"]), on="_jk").drop(columns=["_jk"])
     assert sorted(map(tuple, got[["l_k", "lv", "r_k", "rv"]].to_numpy().tolist())) == \
            sorted(map(tuple, want[["l_k", "lv", "r_k", "rv"]].to_numpy().tolist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_join_matches_direct():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.ann import knn_join
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((80, 12)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(80), "embedding": list(vecs)})
+    got = knn_join(rd.from_pandas(df), k=3, num_blocks=4)
+    # direct reference: full normalized gram, per-row top-3
+    M = vecs.astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    want = []
+    for v in range(80):
+        col = sims[v].copy()
+        ids = np.arange(80)
+        mask = ids != v
+        order = np.lexsort((ids[mask], -col[mask]))[:3]
+        for r, n in enumerate(ids[mask][order], 1):
+            want.append((v, int(n), r))
+    assert list(map(tuple, got[["vec_id", "neighbor", "rank"]].to_numpy().tolist())) == want
