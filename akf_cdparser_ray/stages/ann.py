@@ -95,14 +95,18 @@ def knn_join(emb_ds, *, k: int = 5, num_blocks: int = 8) -> pd.DataFrame:
     """Batch similarity search: for EVERY vector, its top-k cosine
     neighbors (self excluded) — the kNN self-join. Distributed as a blocked
     matmul: the normalized projection's blocks stay in the object store
-    (``to_arrow_refs``); B² block-pair tasks each compute one
-    (rows_i × rows_j) similarity tile and emit per-left-row local top-k
-    candidates; ``groupby(vec_id).map_groups`` merges candidates into the
+    (``to_arrow_refs``); B·(B+1)/2 triangle tiles each compute one
+    (rows_i × rows_j) similarity tile and emit local top-k candidates for
+    BOTH directions (the transpose serves the mirrored pair); ``groupby(vec_id).map_groups`` merges candidates into the
     global top-k. Only (vec_id, neighbor, sim) candidate rows shuffle —
     k·N rows per block column, never the embeddings."""
     import ray.data as rd
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "unit": pd.Series(dtype="object"),
+                                 "dim": pd.Series(dtype="int64")})
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
         return pd.DataFrame({
@@ -119,16 +123,8 @@ def knn_join(emb_ds, *, k: int = 5, num_blocks: int = 8) -> pd.DataFrame:
 
     def tile(batch: pd.DataFrame) -> pd.DataFrame:
         out_v, out_n, out_s = [], [], []
-        for i, j in zip(batch["i"], batch["j"]):
-            lt = ray.get(refs[int(i)]).to_pandas()
-            rt = lt if i == j else ray.get(refs[int(j)]).to_pandas()
-            dim = int(lt["dim"].iloc[0])
-            L = np.frombuffer(b"".join(lt["unit"]), dtype=np.float64).reshape(-1, dim)
-            R = (L if i == j else
-                 np.frombuffer(b"".join(rt["unit"]), dtype=np.float64).reshape(-1, dim))
-            lids = lt["vec_id"].to_numpy()
-            rids = rt["vec_id"].to_numpy()
-            sims = L @ R.T
+
+        def emit(lids, rids, sims):
             for row in range(len(lids)):
                 col = sims[row]
                 mask = rids != lids[row]  # exclude self
@@ -138,13 +134,29 @@ def knn_join(emb_ds, *, k: int = 5, num_blocks: int = 8) -> pd.DataFrame:
                 out_v.extend([int(lids[row])] * kk)
                 out_n.extend(int(c) for c in cids[idx])
                 out_s.extend(float(x) for x in csims[idx])
+
+        for i, j in zip(batch["i"], batch["j"]):
+            lt = ray.get(refs[int(i)]).to_pandas()
+            rt = lt if i == j else ray.get(refs[int(j)]).to_pandas()
+            if not len(lt) or not len(rt):
+                continue  # repartition can leave empty blocks
+            dim = int(lt["dim"].iloc[0])
+            L = np.frombuffer(b"".join(lt["unit"]), dtype=np.float64).reshape(-1, dim)
+            R = (L if i == j else
+                 np.frombuffer(b"".join(rt["unit"]), dtype=np.float64).reshape(-1, dim))
+            lids = lt["vec_id"].to_numpy()
+            rids = rt["vec_id"].to_numpy()
+            sims = L @ R.T
+            emit(lids, rids, sims)
+            if i != j:  # one triangle tile serves both directions
+                emit(rids, lids, sims.T)
         return pd.DataFrame({
             "vec_id": pd.Series(out_v, dtype="int64"),
             "neighbor": pd.Series(out_n, dtype="int64"),
             "sim": pd.Series(out_s, dtype="float64"),
         })
 
-    pairs = [{"i": i, "j": j} for i in range(nb) for j in range(nb)]
+    pairs = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["sim", "neighbor"], ascending=[False, True]).head(k)

@@ -118,27 +118,32 @@ def broadcast_hash_join(large_ds, small_df: pd.DataFrame, key: str):
 def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
                       num_buckets: int = 32):
     """Big-×-big equi-join: co-partition BOTH sides on ``hash(key) %
-    num_buckets`` (one explicit all-to-all), then a local pandas hash join
-    inside each bucket group. Complements broadcast_hash_join for when
-    neither side fits in memory. Skewed keys: all rows of one key share a
-    bucket — salt the key and replicate the smaller side per salt when one
-    key dominates (same recipe as the crawl's hot-host splitting)."""
+    num_buckets`` (one explicit all-to-all; pandas' deterministic siphash so
+    integer-correlated keys don't skew buckets), then a local pandas hash
+    join inside each bucket group. SQL semantics: null keys never match
+    (dropped at tag time). Complements broadcast_hash_join for when neither
+    side fits in memory. Skewed keys: all rows of one key share a bucket —
+    salt the key and replicate the smaller side per salt when one key
+    dominates (same recipe as the crawl's hot-host splitting)."""
     import pandas as pd
+
+    left_cols = [c for c in left_ds.schema().names]
+    right_cols = [c for c in right_ds.schema().names]
 
     def tag(side: int, key: str):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.copy()
+            out = batch[batch[key].notna()].copy()  # null keys never join
             out["_jk"] = out[key]
-            out["_bucket"] = (out[key].astype("int64") % num_buckets).astype("int64")
+            out["_bucket"] = (
+                pd.util.hash_array(out[key].to_numpy()) % num_buckets
+            ).astype("int64")
             out["_side"] = side
             return out
         return f
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["_side"] == 0].dropna(axis=1, how="all")
-        right = group[group["_side"] == 1].dropna(axis=1, how="all")
-        left = left.drop(columns=["_bucket", "_side"], errors="ignore")
-        right = right.drop(columns=["_bucket", "_side"], errors="ignore")
+        left = group.loc[group["_side"] == 0, left_cols + ["_jk"]]
+        right = group.loc[group["_side"] == 1, right_cols + ["_jk"]]
         if left.empty or right.empty:
             return pd.DataFrame()
         return left.merge(right, on="_jk").drop(columns=["_jk"])

@@ -41,6 +41,69 @@ def _sort_run(df: pd.DataFrame) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _head_key(df: pd.DataFrame, i: int = 0) -> tuple:
+    """Ascending merge key of row i: (-priority, url_canon)."""
+    return (-int(df["priority"].iloc[i]), df["url_canon"].iloc[i])
+
+
+def _rows_not_after(df: pd.DataFrame, bound: tuple) -> int:
+    """Count of leading rows of a sorted frame with key <= bound."""
+    bp, bc = -bound[0], bound[1]
+    pr = df["priority"].to_numpy()
+    mask = (pr > bp) | ((pr == bp) & (df["url_canon"].to_numpy() <= bc))
+    # sorted frame → mask is a prefix; count it
+    return int(mask.sum())
+
+
+def _merge_sorted_to_parquet(sources, out_path: str, chunk_rows: int = 65536) -> int:
+    """Bounded-memory k-way merge of sorted frontier streams → one sorted
+    parquet. ``sources`` yield sorted DataFrame chunks (each stream globally
+    sorted by priority desc, url_canon asc). Memory = one chunk per stream."""
+    bufs: list[pd.DataFrame | None] = []
+    iters = []
+    for src in sources:
+        it = iter(src)
+        iters.append(it)
+        bufs.append(next(it, None))
+    writer = pq.ParquetWriter(out_path, sorted_frontier_table(
+        pd.DataFrame(columns=FRONTIER_COLS)).schema)
+    total = 0
+    try:
+        while True:
+            live = [i for i, b in enumerate(bufs) if b is not None and len(b)]
+            if not live:
+                break
+            if len(live) == 1:
+                i = live[0]
+                writer.write_table(sorted_frontier_table(bufs[i]))
+                total += len(bufs[i])
+                bufs[i] = next(iters[i], None)
+                continue
+            # source with the smallest head key emits its prefix up to the
+            # smallest OTHER head key (safe: streams are sorted)
+            heads = [(_head_key(bufs[i]), i) for i in live]
+            heads.sort()
+            (_, lead), (other_key, _) = heads[0], heads[1]
+            n = max(1, _rows_not_after(bufs[lead], other_key))
+            out = bufs[lead].iloc[:n]
+            writer.write_table(sorted_frontier_table(out))
+            total += n
+            rest = bufs[lead].iloc[n:]
+            bufs[lead] = rest if len(rest) else next(iters[lead], None)
+    finally:
+        writer.close()
+    return total
+
+
+def _parquet_chunks(path: str, chunk_rows: int = 65536):
+    """Stream a sorted frontier parquet as DataFrame chunks."""
+    pf = pq.ParquetFile(path)
+    for batch in pf.iter_batches(batch_size=chunk_rows):
+        df = batch.to_pandas()
+        df["url_hash"] = df["url_hash"].astype(np.uint64)
+        yield df
+
+
 @ray.remote(num_cpus=0.2)
 class FrontierShard:
     """Owns one hash shard: cuckoo-filter page + frontier priority-queue
@@ -64,12 +127,14 @@ class FrontierShard:
         self.offered = 0
         self.runs: list[pd.DataFrame] = []
         self.max_runs = 8  # compact when exceeded (amortized O(log) merges)
-        # disk spill: keep only the sorted HEAD in memory, the tail on
-        # parquet; None = unbounded memory (test scale)
+        # disk spill (LSM-ish): keep only the sorted HEAD in memory; each
+        # overflow appends a NEW sorted run parquet (O(new rows) I/O);
+        # checkpoints fold all runs via a bounded-memory k-way merge.
+        # None = unbounded memory (test scale)
         self.spill_threshold = spill_threshold
-        self.spill_path = spill_path
-        self.spill_rows = 0
-        self.spill_max_key: tuple | None = None  # (-priority, url_canon) of spill head
+        self.spill_path = spill_path  # path prefix for run files
+        self.spill_runs: list[dict] = []  # {path, rows, best_key}
+        self.spill_seq = 0
 
     # -- URL-seen membership ------------------------------------------------
     def check_and_add(self, hashes: list[int]) -> list[bool]:
@@ -142,9 +207,12 @@ class FrontierShard:
         self.runs = [merged] if len(merged) else []
         return merged
 
-    # -- disk spill (head-in-memory / sorted tail on parquet) ---------------
+    # -- disk spill (head-in-memory / sorted run files on parquet) ----------
     def _mem_rows(self) -> int:
         return sum(len(r) for r in self.runs)
+
+    def _spilled_rows(self) -> int:
+        return sum(r["rows"] for r in self.spill_runs)
 
     def _maybe_spill(self) -> None:
         if self.spill_threshold is None or self._mem_rows() <= self.spill_threshold:
@@ -152,32 +220,31 @@ class FrontierShard:
         merged = self._compact()
         head_n = max(1, self.spill_threshold // 2)
         head, tail = merged.iloc[:head_n], merged.iloc[head_n:]
-        if self.spill_rows:  # merge with the existing spilled tail
-            prev = pq.read_table(self.spill_path).to_pandas()
-            prev["url_hash"] = prev["url_hash"].astype(np.uint64)
-            tail = _sort_run(pd.concat([tail, prev], ignore_index=True))
-        pq.write_table(sorted_frontier_table(tail), self.spill_path)
-        self.spill_rows = len(tail)
-        self.spill_max_key = ((-int(tail["priority"].iloc[0]), tail["url_canon"].iloc[0])
-                              if len(tail) else None)
+        if len(tail):
+            path = f"{self.spill_path}.run{self.spill_seq}"
+            self.spill_seq += 1
+            pq.write_table(sorted_frontier_table(tail), path)
+            self.spill_runs.append({
+                "path": path, "rows": len(tail), "best_key": _head_key(tail),
+            })
         self.runs = [head.reset_index(drop=True)] if len(head) else []
 
     def _unspill(self) -> None:
-        """Load the spilled tail back (rare: only when the in-memory head
+        """Load every spilled run back (rare: only when the in-memory head
         drains to the spill boundary)."""
-        if not self.spill_rows:
-            return
-        tail = pq.read_table(self.spill_path).to_pandas()
-        tail["url_hash"] = tail["url_hash"].astype(np.uint64)
-        self.runs.append(tail)
-        self.spill_rows = 0
-        self.spill_max_key = None
-        os.remove(self.spill_path)
+        for rec in self.spill_runs:
+            tail = pq.read_table(rec["path"]).to_pandas()
+            tail["url_hash"] = tail["url_hash"].astype(np.uint64)
+            self.runs.append(tail)
+            os.remove(rec["path"])
+        self.spill_runs = []
+        if len(self.runs) > self.max_runs:
+            self._compact()
 
     def _spill_may_beat(self, k: int) -> bool:
-        """True when the spilled tail could contain one of the global top-k
+        """True when a spilled run could contain one of the global top-k
         (conservative: compares the spill's best key to the in-memory k-th)."""
-        if not self.spill_rows:
+        if not self.spill_runs:
             return False
         if self._mem_rows() < k:
             return True
@@ -185,7 +252,8 @@ class FrontierShard:
         order = heads.sort_values(["priority", "url_canon"],
                                   ascending=[False, True], kind="mergesort").head(k)
         kth = (-int(order["priority"].iloc[-1]), order["url_canon"].iloc[-1])
-        return self.spill_max_key is not None and self.spill_max_key < kth
+        best = min(r["best_key"] for r in self.spill_runs)
+        return best < kth
 
     def seed(self, rows: pd.DataFrame) -> int:
         """Initial frontier rows for this shard (seeds are pre-deduped by
@@ -198,9 +266,11 @@ class FrontierShard:
         """Remove and return the shard's top-k rows (priority desc, url
         asc): merge the sorted run heads — never a full re-sort. Reloads the
         spilled tail only when it could contain a top-k row."""
+        if k <= 0:
+            return empty_frontier_table()
         if self._spill_may_beat(k):
             self._unspill()
-        if not self.runs or k <= 0:
+        if not self.runs:
             return empty_frontier_table()
         heads = pd.concat([r.head(k) for r in self.runs], keys=range(len(self.runs)))
         order = heads.sort_values(
@@ -226,28 +296,74 @@ class FrontierShard:
         return len(rows)
 
     def frontier_size(self) -> int:
-        return self._mem_rows() + self.spill_rows
+        return self._mem_rows() + self._spilled_rows()
 
     # -- checkpoint ---------------------------------------------------------
     def checkpoint(self, frontier_path: str, filter_path: str) -> int:
         """Worker-side checkpoint write: compact the queue to one sorted run
         → the shard's frontier parquet, plus the filter page. Returns the
         shard's frontier row count."""
-        self._unspill()  # checkpoint = the FULL frontier, resume-compatible
+        # checkpoint = the FULL frontier (resume-compatible) via a bounded-
+        # memory k-way merge: in-memory head + each spilled run stream in
+        # sorted chunks; peak memory stays O(head + chunk), never the tail
         merged = self._compact()
-        pq.write_table(sorted_frontier_table(merged) if len(merged)
-                       else empty_frontier_table(), frontier_path)
+        sources = [[merged]] if len(merged) else []
+        sources += [_parquet_chunks(r["path"]) for r in self.spill_runs]
+        if sources:
+            total = _merge_sorted_to_parquet(sources, frontier_path)
+        else:
+            pq.write_table(empty_frontier_table(), frontier_path)
+            total = 0
         with open(filter_path, "wb") as f:
             f.write(self.filter.serialize())
-        self._maybe_spill()  # re-split head/tail for the next wave
-        return len(merged)
+        # the merged checkpoint replaces the old runs: restart the spill
+        # from a single compacted run (referencing the checkpoint content
+        # would tie spill files to checkpoint GC, so copy the tail out)
+        if self.spill_runs:
+            for rec in self.spill_runs:
+                os.remove(rec["path"])
+            self.spill_runs = []
+            head_n = (max(1, self.spill_threshold // 2)
+                      if self.spill_threshold is not None else total)
+            pf = pq.ParquetFile(frontier_path)
+            taken = 0
+            head_frames = []
+            tail_path = f"{self.spill_path}.run{self.spill_seq}"
+            writer = None
+            for batch in pf.iter_batches(batch_size=65536):
+                df = batch.to_pandas()
+                df["url_hash"] = df["url_hash"].astype(np.uint64)
+                if taken < head_n:
+                    take = min(head_n - taken, len(df))
+                    head_frames.append(df.iloc[:take])
+                    df = df.iloc[take:]
+                    taken += take
+                if len(df):
+                    if writer is None:
+                        writer = pq.ParquetWriter(
+                            tail_path, empty_frontier_table().schema)
+                        self.spill_seq += 1
+                    writer.write_table(sorted_frontier_table(df))
+            self.runs = ([pd.concat(head_frames, ignore_index=True)]
+                         if head_frames else [])
+            if writer is not None:
+                writer.close()
+                t_rows = total - taken
+                first_tail = pq.ParquetFile(tail_path).read_row_group(0).to_pandas()
+                self.spill_runs = [{
+                    "path": tail_path, "rows": t_rows,
+                    "best_key": _head_key(first_tail),
+                }]
+        return total
 
     def restore(self, frontier_path: str, filter_path: str) -> int:
         with open(filter_path, "rb") as f:
             self.filter = deserialize_filter(f.read())
+        for rec in self.spill_runs:
+            if os.path.exists(rec["path"]):
+                os.remove(rec["path"])
+        self.spill_runs = []
         df = pq.read_table(frontier_path).to_pandas()
-        self.spill_rows = 0
-        self.spill_max_key = None
         if len(df):
             df["url_hash"] = df["url_hash"].astype(np.uint64)
             self.runs = [df]

@@ -201,12 +201,12 @@ def grouped_median(events_ds, key: str = "event_type", col: str = "value") -> pd
     the streaming-scale alternative is a mergeable sketch (t-digest)."""
 
     def med(group: pd.DataFrame) -> pd.DataFrame:
-        vals = group[col].sort_values().to_numpy()
+        vals = group[col].dropna().sort_values().to_numpy()  # quantile ignores NULLs
         idx = int(0.5 * (len(vals) - 1))
         return pd.DataFrame({
             key: [group[key].iloc[0]],
-            "median_value": [float(vals[idx])],
-            "n": [len(vals)],
+            "median_value": [float(vals[idx]) if len(vals) else None],
+            "n": [len(group)],  # count(*) counts all rows, nulls included
         })
 
     out = events_ds.groupby(key).map_groups(med, batch_format="pandas").to_pandas()

@@ -377,3 +377,53 @@ def test_knn_join_matches_direct():
         for r, n in enumerate(ids[mask][order], 1):
             want.append((v, int(n), r))
     assert list(map(tuple, got[["vec_id", "neighbor", "rank"]].to_numpy().tolist())) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review_edge_cases():
+    """Regression pins for review findings: string/null join keys, all-null
+    columns per bucket, knn on tiny datasets, median with nulls,
+    dequeue(0) with an active spill."""
+    import ray
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.ann import knn_join
+    from akf_cdparser_ray.stages.crossjoin import shuffle_hash_join
+    from akf_cdparser_ray.stages.windows import grouped_median
+
+    # string keys + a null key + a column that is all-null on one side
+    left = pd.DataFrame({"h": ["a", "b", None, "a"], "extra": [None, None, None, None],
+                         "lv": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k": ["a", "c", "b"], "rv": [10, 20, 30]})
+    out = shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            left_key="h", right_key="k", num_buckets=3).to_pandas()
+    assert sorted(zip(out["h"], out["lv"], out["rv"])) == [
+        ("a", 1, 10), ("a", 4, 10), ("b", 2, 30)]  # null key joins nothing
+    assert "extra" in out.columns  # all-null columns survive
+
+    # knn on fewer rows than blocks (empty repartition blocks)
+    small = pd.DataFrame({"vec_id": range(5),
+                          "embedding": list(np.eye(5, dtype=np.float32))})
+    nn = knn_join(rd.from_pandas(small), k=2, num_blocks=8)
+    assert len(nn) == 10 and set(nn["rank"]) == {1, 2}
+
+    # median ignores nulls; n counts all rows (count(*) semantics)
+    ev = pd.DataFrame({"event_type": ["a"] * 3, "value": [1.0, None, 2.0]})
+    m = grouped_median(rd.from_pandas(ev))
+    assert m["median_value"].iloc[0] == 1.0 and m["n"].iloc[0] == 3
+
+    # dequeue(0) with active spill must not crash
+    from akf_cdparser_ray.stages.dedupe import FrontierShard
+    from akf_cdparser_ray.stages.links import url_hash64
+    import tempfile
+    d = tempfile.mkdtemp(prefix="sp0_")
+    sh = FrontierShard.remote(1 << 14, 10, f"{d}/s.parquet")
+    rows = pd.DataFrame({
+        "url_canon": [f"http://x/{i}" for i in range(50)],
+        "url_hash": np.array([url_hash64(f"http://x/{i}") for i in range(50)], dtype=np.uint64),
+        "host": "x", "priority": 50, "depth": 0, "discovered_at": 0,
+    })
+    ray.get(sh.seed.remote(rows))
+    assert ray.get(sh.dequeue.remote(0)).num_rows == 0
+    assert ray.get(sh.frontier_size.remote()) == 50
+    ray.kill(sh)
