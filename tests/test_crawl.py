@@ -272,3 +272,28 @@ def test_crawl_with_spill_replays_identically(tmp_path):
     pref = aio.read_partitions(str(tmp_path / "nospill" / "pairs"))
     pspl = aio.read_partitions(str(tmp_path / "spill" / "pairs"))
     assert pref.equals(pspl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_kill_and_resume_with_spill(tmp_path):
+    """Kill-and-resume with the frontier spilling to parquet runs: the
+    resumed run must still be byte-identical to an uninterrupted one."""
+    from akf_cdparser_ray.pipelines.crawl import CrawlJob
+
+    ref = CrawlJob(_mk_cfg(tmp_path, "sref", max_waves=3, frontier_spill_rows=8))
+    sref = ref.run()
+    ref.shutdown()
+
+    killed = CrawlJob(_mk_cfg(tmp_path, "skr", max_waves=2, frontier_spill_rows=8))
+    killed.run()
+    killed.shutdown()
+    resumed = CrawlJob(_mk_cfg(tmp_path, "skr", max_waves=3, frontier_spill_rows=8))
+    sres = resumed.run(resume=True)
+    resumed.shutdown()
+
+    assert sres["trace"] == sref["trace"]
+    assert sres["counters"] == sref["counters"]
+    assert sres["seen_total"] == sref["seen_total"]
+    pref = aio.read_partitions(str(tmp_path / "sref" / "pairs"))
+    pres = aio.read_partitions(str(tmp_path / "skr" / "pairs"))
+    assert pref.equals(pres)
