@@ -494,6 +494,8 @@ def q_revenue_by_status(sf_dir: str):
     joined = shuffle_hash_join(
         lineitem.map_batches(cents, batch_format="pyarrow"), orders,
         left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_orderkey", "rev_c"],          # explicit: keeps the lazy
+        right_cols=["o_orderkey", "o_orderstatus"],  # plan from pre-executing
     )
     out = partial_groupby_sum(
         joined.map_batches(

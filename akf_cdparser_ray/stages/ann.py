@@ -171,4 +171,8 @@ def knn_join(emb_ds, *, k: int = 5, num_blocks: int = 8) -> pd.DataFrame:
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty or "vec_id" not in out.columns:  # fully-empty input
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "neighbor": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64")})
     return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)

@@ -116,34 +116,50 @@ def broadcast_hash_join(large_ds, small_df: pd.DataFrame, key: str):
 
 
 def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
-                      num_buckets: int = 32):
+                      num_buckets: int = 32,
+                      left_cols: list[str] | None = None,
+                      right_cols: list[str] | None = None):
     """Big-×-big equi-join: co-partition BOTH sides on ``hash(key) %
     num_buckets`` (one explicit all-to-all; pandas' deterministic siphash so
-    integer-correlated keys don't skew buckets), then a local pandas hash
-    join inside each bucket group. SQL semantics: null keys never match
-    (dropped at tag time). Complements broadcast_hash_join for when neither
-    side fits in memory. Skewed keys: all rows of one key share a bucket —
-    salt the key and replicate the smaller side per salt when one key
-    dominates (same recipe as the crawl's hot-host splitting)."""
+    integer-correlated keys don't skew buckets; numeric keys are normalized
+    to float64 before hashing so an int64 3 and a float64 3.0 — which pandas
+    merge treats as equal — land in the same bucket), then a local pandas
+    hash join inside each bucket group. SQL semantics: null keys never
+    match (dropped at tag time). Pass ``left_cols``/``right_cols``
+    explicitly to avoid an eager ``schema()`` call on lazy upstream plans
+    (a map_batches pipeline would partially execute just to report names).
+    Skewed keys: all rows of one key share a bucket — salt the key and
+    replicate the smaller side per salt when one key dominates (same recipe
+    as the crawl's hot-host splitting)."""
     import pandas as pd
 
-    left_cols = [c for c in left_ds.schema().names]
-    right_cols = [c for c in right_ds.schema().names]
+    if left_cols is None:
+        left_cols = list(left_ds.schema().names)
+    if right_cols is None:
+        right_cols = list(right_ds.schema().names)
+
+    def _bucket_of(col: pd.Series) -> pd.Series:
+        vals = col.to_numpy()
+        if col.dtype.kind in "iuf":
+            # float64 is exact for ints < 2^53; wider ints can only COLLIDE
+            # buckets (merge still exact), never split a matching pair
+            vals = vals.astype("float64")
+        return (pd.util.hash_array(vals) % num_buckets).astype("int64")
 
     def tag(side: int, key: str):
         def f(batch: pd.DataFrame) -> pd.DataFrame:
             out = batch[batch[key].notna()].copy()  # null keys never join
             out["_jk"] = out[key]
-            out["_bucket"] = (
-                pd.util.hash_array(out[key].to_numpy()) % num_buckets
-            ).astype("int64")
+            out["_bucket"] = _bucket_of(out[key])
             out["_side"] = side
             return out
         return f
 
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        left = group.loc[group["_side"] == 0, left_cols + ["_jk"]]
-        right = group.loc[group["_side"] == 1, right_cols + ["_jk"]]
+        # reindex, not .loc: a group block holding rows of only one side
+        # lacks the other side's columns entirely
+        left = group[group["_side"] == 0].reindex(columns=left_cols + ["_jk"])
+        right = group[group["_side"] == 1].reindex(columns=right_cols + ["_jk"])
         if left.empty or right.empty:
             return pd.DataFrame()
         return left.merge(right, on="_jk").drop(columns=["_jk"])

@@ -55,28 +55,56 @@ def _rows_not_after(df: pd.DataFrame, bound: tuple) -> int:
     return int(mask.sum())
 
 
-def _merge_sorted_to_parquet(sources, out_path: str, chunk_rows: int = 65536) -> int:
+def _merge_sorted_to_parquet(sources, out_path: str, tee_head: int = 0,
+                             tee_tail_path: str | None = None):
     """Bounded-memory k-way merge of sorted frontier streams → one sorted
     parquet. ``sources`` yield sorted DataFrame chunks (each stream globally
-    sorted by priority desc, url_canon asc). Memory = one chunk per stream."""
+    sorted by priority desc, url_canon asc). Memory = one chunk per stream.
+
+    With ``tee_head``/``tee_tail_path`` set, the SAME pass also splits the
+    merged stream: the first ``tee_head`` rows are returned as a DataFrame
+    and every later row is appended to a second (tail) parquet — so a
+    checkpoint + head/tail re-split costs one merge, not a re-read.
+    Returns (total_rows, head_df | None, tail_rows)."""
     bufs: list[pd.DataFrame | None] = []
     iters = []
     for src in sources:
         it = iter(src)
         iters.append(it)
         bufs.append(next(it, None))
-    writer = pq.ParquetWriter(out_path, sorted_frontier_table(
-        pd.DataFrame(columns=FRONTIER_COLS)).schema)
-    total = 0
+    schema = sorted_frontier_table(pd.DataFrame(columns=FRONTIER_COLS)).schema
+    writer = pq.ParquetWriter(out_path, schema)
+    tail_writer = None
+    head_frames: list[pd.DataFrame] = []
+    total = tail_rows = 0
+
+    def emit(out: pd.DataFrame) -> None:
+        nonlocal total, tail_rows, tail_writer
+        writer.write_table(sorted_frontier_table(out))
+        if tee_tail_path is not None:
+            taken = sum(len(h) for h in head_frames)
+            if taken < tee_head:
+                take = min(tee_head - taken, len(out))
+                head_frames.append(out.iloc[:take])
+                out = out.iloc[take:]
+            if len(out):
+                if tail_writer is None:
+                    tail_writer = pq.ParquetWriter(tee_tail_path, schema)
+                tail_writer.write_table(sorted_frontier_table(out))
+                tail_rows += len(out)
+        total += len(out) if tee_tail_path is None else 0
     try:
         while True:
+            # advance any drained-empty buffers so no stream stalls silently
+            for i, b in enumerate(bufs):
+                while b is not None and not len(b):
+                    b = bufs[i] = next(iters[i], None)
             live = [i for i, b in enumerate(bufs) if b is not None and len(b)]
             if not live:
                 break
             if len(live) == 1:
                 i = live[0]
-                writer.write_table(sorted_frontier_table(bufs[i]))
-                total += len(bufs[i])
+                emit(bufs[i])
                 bufs[i] = next(iters[i], None)
                 continue
             # source with the smallest head key emits its prefix up to the
@@ -85,14 +113,17 @@ def _merge_sorted_to_parquet(sources, out_path: str, chunk_rows: int = 65536) ->
             heads.sort()
             (_, lead), (other_key, _) = heads[0], heads[1]
             n = max(1, _rows_not_after(bufs[lead], other_key))
-            out = bufs[lead].iloc[:n]
-            writer.write_table(sorted_frontier_table(out))
-            total += n
+            emit(bufs[lead].iloc[:n])
             rest = bufs[lead].iloc[n:]
             bufs[lead] = rest if len(rest) else next(iters[lead], None)
     finally:
         writer.close()
-    return total
+        if tail_writer is not None:
+            tail_writer.close()
+    head = (pd.concat(head_frames, ignore_index=True) if head_frames else None)
+    if tee_tail_path is not None:
+        total = (len(head) if head is not None else 0) + tail_rows
+    return total, head, tail_rows
 
 
 def _parquet_chunks(path: str, chunk_rows: int = 65536):
@@ -305,63 +336,53 @@ class FrontierShard:
         shard's frontier row count."""
         # checkpoint = the FULL frontier (resume-compatible) via a bounded-
         # memory k-way merge: in-memory head + each spilled run stream in
-        # sorted chunks; peak memory stays O(head + chunk), never the tail
+        # sorted chunks; peak memory stays O(head + chunk), never the tail.
+        # When spill is active the SAME pass tees the merged stream into the
+        # next head (in memory) and a fresh compacted tail run — no re-read.
         merged = self._compact()
         sources = [[merged]] if len(merged) else []
-        sources += [_parquet_chunks(r["path"]) for r in self.spill_runs]
-        if sources:
-            total = _merge_sorted_to_parquet(sources, frontier_path)
-        else:
+        old_runs = self.spill_runs
+        sources += [_parquet_chunks(r["path"]) for r in old_runs]
+        if not sources:
             pq.write_table(empty_frontier_table(), frontier_path)
             total = 0
-        with open(filter_path, "wb") as f:
-            f.write(self.filter.serialize())
-        # the merged checkpoint replaces the old runs: restart the spill
-        # from a single compacted run (referencing the checkpoint content
-        # would tie spill files to checkpoint GC, so copy the tail out)
-        if self.spill_runs:
-            for rec in self.spill_runs:
-                os.remove(rec["path"])
-            self.spill_runs = []
+        elif not old_runs:
+            total, _h, _t = _merge_sorted_to_parquet(sources, frontier_path)
+        else:
             head_n = (max(1, self.spill_threshold // 2)
-                      if self.spill_threshold is not None else total)
-            pf = pq.ParquetFile(frontier_path)
-            taken = 0
-            head_frames = []
+                      if self.spill_threshold is not None else 1 << 62)
             tail_path = f"{self.spill_path}.run{self.spill_seq}"
-            writer = None
-            for batch in pf.iter_batches(batch_size=65536):
-                df = batch.to_pandas()
-                df["url_hash"] = df["url_hash"].astype(np.uint64)
-                if taken < head_n:
-                    take = min(head_n - taken, len(df))
-                    head_frames.append(df.iloc[:take])
-                    df = df.iloc[take:]
-                    taken += take
-                if len(df):
-                    if writer is None:
-                        writer = pq.ParquetWriter(
-                            tail_path, empty_frontier_table().schema)
-                        self.spill_seq += 1
-                    writer.write_table(sorted_frontier_table(df))
-            self.runs = ([pd.concat(head_frames, ignore_index=True)]
-                         if head_frames else [])
-            if writer is not None:
-                writer.close()
-                t_rows = total - taken
+            self.spill_seq += 1
+            total, head, tail_rows = _merge_sorted_to_parquet(
+                sources, frontier_path, tee_head=head_n, tee_tail_path=tail_path,
+            )
+            for rec in old_runs:
+                os.remove(rec["path"])
+            self.runs = [head] if head is not None and len(head) else []
+            if tail_rows:
                 first_tail = pq.ParquetFile(tail_path).read_row_group(0).to_pandas()
                 self.spill_runs = [{
-                    "path": tail_path, "rows": t_rows,
+                    "path": tail_path, "rows": tail_rows,
                     "best_key": _head_key(first_tail),
                 }]
+            else:
+                self.spill_runs = []
+                if os.path.exists(tail_path):
+                    os.remove(tail_path)
+        with open(filter_path, "wb") as f:
+            f.write(self.filter.serialize())
         return total
 
     def restore(self, frontier_path: str, filter_path: str) -> int:
         with open(filter_path, "rb") as f:
             self.filter = deserialize_filter(f.read())
-        for rec in self.spill_runs:
-            if os.path.exists(rec["path"]):
-                os.remove(rec["path"])
+        # remove every run file under this shard's prefix — including
+        # orphans left by a killed process with a different spill_seq
+        import glob as _glob
+
+        if self.spill_path:
+            for pth in _glob.glob(f"{self.spill_path}.run*"):
+                os.remove(pth)
         self.spill_runs = []
         df = pq.read_table(frontier_path).to_pandas()
         if len(df):

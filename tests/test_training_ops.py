@@ -427,3 +427,29 @@ def test_review_edge_cases():
     assert ray.get(sh.dequeue.remote(0)).num_rows == 0
     assert ray.get(sh.frontier_size.remote()) == 50
     ray.kill(sh)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review3_edge_cases():
+    """Pins for the third review round: one-sided buckets, cross-dtype keys,
+    empty knn input."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.ann import knn_join
+    from akf_cdparser_ray.stages.crossjoin import shuffle_hash_join
+
+    # keys existing on only one side (one-sided bucket blocks) + cross-dtype
+    # numeric keys (int64 left, float64 right) that pandas merge equates
+    left = pd.DataFrame({"a": pd.Series([1, 2, 3, 97], dtype="int64"),
+                         "lv": [10, 20, 30, 40]})
+    right = pd.DataFrame({"b": pd.Series([3.0, 5.0, 98.0], dtype="float64"),
+                          "rv": ["x", "y", "z"]})
+    out = shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            left_key="a", right_key="b", num_buckets=16).to_pandas()
+    assert list(zip(out["a"], out["lv"], out["rv"])) == [(3, 30, "x")]
+
+    # fully-empty embedding input returns a typed empty frame, no crash
+    empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "embedding": pd.Series(dtype="object")})
+    nn = knn_join(rd.from_pandas(empty), k=2, num_blocks=4)
+    assert len(nn) == 0 and list(nn.columns) == ["vec_id", "neighbor", "rank"]
