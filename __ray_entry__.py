@@ -179,6 +179,15 @@ def q_fingerprints(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pandas").to_pandas()
 
 
+def q_rolling_fps(sf_dir: str):
+    """Winnowing (rolling-hash) fingerprints per document (rows-only:
+    deterministic numpy digest, no SQL equivalent)."""
+    from akf_cdparser_ray.stages.text_analysis import rolling_fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(rolling_fingerprint_batch, batch_format="pandas").to_pandas()
+
+
 def q_langid(sf_dir: str):
     """Heuristic language ID (rows-only check: no SQL oracle)."""
     from akf_cdparser_ray.stages.text_analysis import langid_batch
@@ -532,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "fingerprints": q_fingerprints,
+        "rolling_fps": q_rolling_fps,
         "langid": q_langid,
         "minhash_neardup": q_minhash_neardup,
         "simhash": q_simhash,

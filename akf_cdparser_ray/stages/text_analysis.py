@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 
 _WS_RE = re.compile(r"\s+")
@@ -82,3 +83,56 @@ def langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
         preds.append(best[0] if best[1] > 0 else "unk")
     out["lang_pred"] = preds
     return out
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash (winnowing) fingerprints — shift-robust content signatures
+# ---------------------------------------------------------------------------
+
+_RH_BASE = np.uint64(1000003)
+_RH_K = 8       # character k-gram width
+_RH_WINDOW = 6  # winnowing window (min-hash per window)
+
+
+def rolling_fingerprints(text: str, k: int = _RH_K, window: int = _RH_WINDOW) -> np.ndarray:
+    """Winnowing fingerprints: Rabin-Karp rolling hash over character
+    k-grams, then the minimum hash of each sliding window of ``window``
+    consecutive k-gram hashes (each min kept once) — the classic
+    shift-robust document signature (Schleimer et al., winnowing). Pure
+    numpy: the rolling hash is a vectorized polynomial via cumulative
+    powers, no per-character Python loop."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n < k:
+        return np.array([], dtype=np.uint64)
+    # hash of gram i = sum_{j<k} data[i+j] * BASE^(k-1-j)  (mod 2^64)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[-1] = 1
+    for j in range(k - 2, -1, -1):
+        powers[j] = powers[j + 1] * _RH_BASE
+    # sliding dot product via stride trick
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    hashes = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    if len(hashes) < window:
+        return np.unique(hashes.min(keepdims=True))
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+    return np.unique(mins)
+
+
+def rolling_fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """documents batch → per-doc winnowing signature summary:
+    (doc_id, n_fps, fp_xor, fp_min) — a deterministic compact digest; the
+    full fingerprint sets feed near-dup joins the same way shingles do."""
+    ids, n_fps, fp_xor, fp_min = [], [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+        fps = rolling_fingerprints(str(text))
+        ids.append(doc_id)
+        n_fps.append(len(fps))
+        fp_xor.append(int(np.bitwise_xor.reduce(fps)) if len(fps) else 0)
+        fp_min.append(int(fps.min()) if len(fps) else 0)
+    return pd.DataFrame({
+        "doc_id": ids,
+        "n_fps": pd.Series(n_fps, dtype="int64"),
+        "fp_xor": pd.Series([np.int64(np.uint64(x)) for x in fp_xor], dtype="int64"),
+        "fp_min": pd.Series([np.int64(np.uint64(x)) for x in fp_min], dtype="int64"),
+    })

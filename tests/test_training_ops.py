@@ -453,3 +453,19 @@ def test_review3_edge_cases():
                           "embedding": pd.Series(dtype="object")})
     nn = knn_join(rd.from_pandas(empty), k=2, num_blocks=4)
     assert len(nn) == 0 and list(nn.columns) == ["vec_id", "neighbor", "rank"]
+
+
+def test_rolling_fingerprints_shift_robust():
+    """Winnowing property: a shifted copy shares most fingerprints; an
+    unrelated text shares almost none; short texts don't crash."""
+    from akf_cdparser_ray.stages.text_analysis import rolling_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    a = rolling_fingerprints(base)
+    b = rolling_fingerprints("PREFIX>>> " + base)       # shifted content
+    c = rolling_fingerprints("völlig anderes zeug hier drin steht text " * 4)
+    inter_ab = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    inter_ac = len(np.intersect1d(a, c)) / len(np.union1d(a, c))
+    assert inter_ab > 0.8 > inter_ac
+    assert rolling_fingerprints("tiny").size == 0           # < k chars
+    assert rolling_fingerprints("12345678").size == 1       # exactly one gram
