@@ -45,7 +45,7 @@ def diff(a, b, path="$", out=None, maxn=3):
 def mutate(html, rng):
     lines = html.split('\n')
     for _ in range(rng.randrange(1, 4)):
-        op = rng.randrange(14)
+        op = rng.randrange(18)
         if op == 0 and len(lines) > 30:
             a = rng.randrange(10, len(lines) - 10); b = min(len(lines) - 5, a + rng.randrange(1, 8))
             lines = lines[:a] + lines[b:]
@@ -99,10 +99,33 @@ def mutate(html, rng):
                 'ISIN: DE0001234567, Stammaktien<br>',
                 'Wertpapier-Kenn-Nr.: 123456, Stammaktien<br>',
             ]))
-        else:  # move a line elsewhere
+        elif op == 13:  # move a line elsewhere
             i = rng.randrange(len(lines))
             l = lines.pop(i)
             lines.insert(rng.randrange(len(lines)), l)
+        elif op == 14:  # full-page mojibake (utf-8 read as latin-1)
+            try:
+                lines = ['\n'.join(lines).encode('utf-8').decode('latin-1')]
+                lines = lines[0].split('\n')
+            except UnicodeError:
+                pass
+        elif op == 15:  # swap two adjacent table cells on one line
+            idxs = [i for i, l in enumerate(lines) if l.count('</td>') >= 2]
+            if idxs:
+                i = rng.choice(idxs)
+                parts = lines[i].split('</td>')
+                a = rng.randrange(len(parts) - 2)
+                parts[a], parts[a + 1] = parts[a + 1], parts[a]
+                lines[i] = '</td>'.join(parts)
+        elif op == 16:  # inject a stray <b> header mid-line
+            i = rng.randrange(len(lines))
+            pos = rng.randrange(len(lines[i]) + 1)
+            frag = rng.choice(['<b>', '</b>', '<b>Kurse', '<br><b>Dividenden'])
+            lines[i] = lines[i][:pos] + frag + lines[i][pos:]
+        else:  # replace a space run with NBSP (and sometimes its mojibake)
+            i = rng.randrange(len(lines))
+            nb = '\xa0' if rng.random() < 0.5 else '\xc3\x82\xc2\xa0'
+            lines[i] = lines[i].replace(' ', nb, 1)
     return '\n'.join(lines)
 
 def canon(x):
