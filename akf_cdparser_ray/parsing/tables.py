@@ -794,7 +794,12 @@ def parse_bereinigtekurse(tables_parsed, tables_arr, rest, infos, callnumber) ->
     item_indices_groups: list[dict] = []
     ret: dict = {"kurse": [], "notiz_bereinigteKurse": None}
 
-    header_src = rest.get(0, "") if rest else ""
+    # JS: rest[0] may be undefined; cheerio.load(undefined) string-coerces,
+    # so the "header" becomes the literal text "undefined" (and the notiz
+    # keeps that string — it survives isObjectEmpty)
+    header_src = rest.get(0) if rest else None
+    if header_src is None:
+        header_src = "undefined"
     header_split = tu.html_text_to_text(header_src).split("Bereinigte Kurse")
     if len(header_split) == 1:
         ret["notiz_bereinigteKurse"] = (
@@ -885,7 +890,10 @@ def _new_div_indices():
 def parse_dividenden(tables_parsed, tables_arr, rest, infos, callnumber) -> dict:
     ret: dict = {"dividenden": [], "dividenden_notiz": None, "dividenden_bemerkungen": []}
 
-    header_src = rest.get(0, "") if rest else ""
+    # same String(undefined) coercion quirk as parse_bereinigtekurse
+    header_src = rest.get(0) if rest else None
+    if header_src is None:
+        header_src = "undefined"
     header_split = tu.html_text_to_text(header_src).replace("/Ausschüttung", "", 1).split(
         "Dividenden"
     )
