@@ -268,3 +268,23 @@ def test_schema_validator_ajv_verdicts():
     ok, errors = validator.validate(data)
     assert not ok
     assert errors and all("not in enum" in e and e.startswith("vorstand") for e in errors)
+
+
+def test_package_public_api():
+    """The library surface mirroring the reference's index.js exports
+    (parse / validate / json2sql) works without any Ray session."""
+    import akf_cdparser_ray as akf
+
+    html = open(
+        "/root/reference/test/fixtures/html/2005/0003.html.utf8.html",
+        encoding="utf-8",
+    ).read()
+    profile = akf.parse(html)
+    assert profile["name"] == "4MBO International Electronic AG"
+    profile2, rows = akf.parse(html, with_audit=True)
+    assert profile2 == profile and len(rows) > 30
+    ok, _ = akf.validate({"wkn": 548780})
+    assert ok
+    ok, errs = akf.validate(profile, strict=True)
+    assert not ok  # nested layout vs the legacy flat schema (ajv verdict)
+    assert akf.json2sql(profile).startswith('INSERT INTO "Aufsichtsrat"')
