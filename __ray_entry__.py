@@ -347,7 +347,11 @@ def q_parse_profiles(_sf_dir: str):
 
     from akf_cdparser_ray.pipelines import flagship
 
-    rows = flagship.pairs_pipeline(n_pages=40, batch_size=8, concurrency=2).take_all()
+    rows = (
+        flagship.pairs_pipeline(n_pages=40, batch_size=8, concurrency=2)
+        .select_columns(["image_id", "status", "caption"])  # never pull `bytes` to the driver
+        .take_all()
+    )
     out = []
     for r in rows:
         cap = json.loads(r["caption"]) if r["caption"] else {}

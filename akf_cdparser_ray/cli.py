@@ -47,18 +47,32 @@ def cmd_html2json(args) -> int:
     written = write_mirrored_json(parsed, args.output)
     if with_cf:
         # reference semantics: ./checkfiles/*.txt accumulated over the run
-        # in input order (checkfileWriter.js clearCheckfilesAtStart + append)
+        # (checkfileWriter.js clearCheckfilesAtStart + append). File order
+        # here is SORTED relpath — a deterministic total order over the
+        # tree; the reference's walk order is directory-listing order,
+        # which is the same set of lines, ordering documented as sorted.
+        # Streamed: a distributed sort by image_id, then append per batch —
+        # the driver never holds more than one batch of audit blobs.
+        from .parsing.checkfiles import CONFIG
         from .stages.audit import render_checkfile_texts
 
-        rows = sorted(
-            parsed.select_columns(["image_id", "audit"]).take_all(),
-            key=lambda r: r["image_id"],
-        )
         os.makedirs(args.checkfiles, exist_ok=True)
-        for fname, text in render_checkfile_texts([r["audit"] for r in rows]).items():
-            with open(os.path.join(args.checkfiles, fname), "w",
-                      encoding="utf-8", newline="") as f:
-                f.write(text)
+        handles = {
+            fname: open(os.path.join(args.checkfiles, fname), "w",
+                        encoding="utf-8", newline="")
+            for fname, _on in CONFIG.values()
+        }
+        try:
+            ordered = parsed.select_columns(["image_id", "audit"]).sort("image_id")
+            for b in ordered.iter_batches(batch_size=256, batch_format="pandas"):
+                # render_checkfiles is append-only per category, so rendering
+                # a batch slice and appending is byte-identical to one pass
+                for fname, text in render_checkfile_texts(list(b["audit"])).items():
+                    if text:
+                        handles[fname].write(text)
+        finally:
+            for f in handles.values():
+                f.close()
         print(f"wrote checkfiles under {args.checkfiles}")
     print(f"wrote {written} json files under {args.output}")
     ray.shutdown()

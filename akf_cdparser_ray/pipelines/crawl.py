@@ -68,6 +68,9 @@ class CrawlConfig:
     parse_concurrency: int | tuple = 2
     fetch_concurrency: int | tuple = 2
     batch_size: int = 32
+    # URLs per fetch/parse task: small tasks pack the fleet tightly and cap
+    # the wave-barrier straggler at one task's wall (pure config ⇒ replay-safe)
+    task_urls: int = 32
     seed: int = 42
     keep_trace: bool = True        # in-memory trace for summary(); segments on disk either way
     frontier_spill_rows: int | None = None  # per-shard in-memory cap; tail spills to parquet
@@ -112,6 +115,8 @@ class CrawlJob:
         self.trace: list[tuple[int, int, str]] = []  # (wave, seq, url)
         self.trace_len = 0
         self.frontier_rows = 0
+        # driver-side diagnostics only (never part of counters/replay state)
+        self.phase_times: dict[str, float] = {}
 
     # ------------------------------------------------------------------
     # checkpoint layout
@@ -248,18 +253,30 @@ class CrawlJob:
         return cand.drop(columns=["gate_shard"])
 
     # ------------------------------------------------------------------
+    def _mark(self, key: str, t0: float) -> float:
+        import time as _time
+
+        t1 = _time.perf_counter()
+        self.phase_times[key] = self.phase_times.get(key, 0.0) + (t1 - t0)
+        return t1
+
     def run_wave(self) -> dict:
+        import time as _time
+
         cfg = self.cfg
         self.wave += 1
         wave = self.wave
         ctr = {"wave": wave, **{k: 0 for k in _CTR_KEYS}}
 
+        t = _time.perf_counter()
         dequeued = self._dequeue(cfg.dequeue_k)
+        t = self._mark("w_dequeue", t)
         ctr["dequeued"] = len(dequeued)
         wave_trace: list[tuple[int, int, str]] = []
 
         if not dequeued.empty:
             gated = self._gate(dequeued, wave)
+            t = self._mark("w_gate", t)
             allowed = gated[gated["decision"] == "allow"]
             deferred = gated[gated["decision"] == "defer"]
             ctr["allowed"] = len(allowed)
@@ -313,7 +330,9 @@ class CrawlJob:
                 ray.get(acks)
 
         self.counters.append(ctr)
+        t = _time.perf_counter()
         self.checkpoint(ctr, wave_trace)
+        self._mark("w_checkpoint", t)
         return ctr
 
     def _fetch_parse_enqueue(self, allowed: pd.DataFrame, wave: int) -> dict:
@@ -337,13 +356,17 @@ class CrawlJob:
 
         def fetch_parse_links(batch: pa.Table) -> pa.Table:
             import hashlib as _hashlib
+            import time as _time
 
             import pyarrow.parquet as _pq
 
+            t0 = _time.perf_counter()
             fetched_b = fetch_fn(batch)
+            t1 = _time.perf_counter()
             mask = [s == "200" for s in fetched_b.column("fetch_status").to_pylist()]
             ok_b = fetched_b.filter(pa.array(mask))
             parsed_b = parse_fn(ok_b)
+            t2 = _time.perf_counter()
             pairs_b = parsed_b.select(
                 ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "status"]
             )
@@ -353,28 +376,30 @@ class CrawlJob:
                     digest_size=8,
                 ).hexdigest()
                 _pq.write_table(pairs_b, os.path.join(pairs_tmp, f"part-{name}.parquet"))
+            t3 = _time.perf_counter()
             links_b = extract_links_batch(ok_b)
+            t4 = _time.perf_counter()
             statuses = parsed_b.column("status").to_pylist()
-            # offer links to their hash shard (fire, then ack before returning
-            # so Dataset completion implies every offer has landed)
+            # offer links to their hash shard (fire-and-forget: the wave-end
+            # flush barrier reconciles on the per-shard offer row counts this
+            # row reports, so the task never blocks on shard RPC round-trips)
+            per_shard = np.zeros(num_shards, dtype=np.int64)
             if links_b.num_rows:
                 hashes = links_b.column("url_hash").to_numpy(zero_copy_only=False)
                 shard = (hashes % np.uint64(num_shards)).astype(np.int64)
                 canons = links_b.column("url_canon").to_pylist()
                 hosts = links_b.column("host").to_pylist()
                 depths = links_b.column("depth").to_pylist()
-                acks = []
                 for s in np.unique(shard):
                     idx = np.flatnonzero(shard == s)
-                    acks.append(
-                        filter_shards[int(s)].offer.remote(
-                            [canons[i] for i in idx],
-                            hashes[idx].tolist(),
-                            [hosts[i] for i in idx],
-                            [int(depths[i]) for i in idx],
-                        )
+                    filter_shards[int(s)].offer.remote(
+                        [canons[i] for i in idx],
+                        hashes[idx].tolist(),
+                        [hosts[i] for i in idx],
+                        [int(depths[i]) for i in idx],
                     )
-                ray.get(acks)
+                    per_shard[int(s)] = len(idx)
+            t5 = _time.perf_counter()
             return pa.table(
                 {
                     "fetched": pa.array([int(sum(mask))], pa.int64()),
@@ -382,29 +407,69 @@ class CrawlJob:
                     "pairs_rows": pa.array([pairs_b.num_rows], pa.int64()),
                     "parsed_ok": pa.array([statuses.count("ok")], pa.int64()),
                     "parse_err": pa.array([statuses.count("error")], pa.int64()),
+                    "offers": pa.array([per_shard.tolist()], pa.list_(pa.int64())),
+                    "t_fetch": pa.array([t1 - t0], pa.float64()),
+                    "t_parse": pa.array([t2 - t1], pa.float64()),
+                    "t_write": pa.array([t3 - t2], pa.float64()),
+                    "t_links": pa.array([t4 - t3], pa.float64()),
+                    "t_offer": pa.array([t5 - t4], pa.float64()),
                 }
             )
 
         # from_pandas(df) yields ONE block = one task; split the wave into
         # batch-sized chunks so it fans out across the cluster
         work = allowed[["url_canon", "depth"]].reset_index(drop=True)
-        chunks = [
-            work.iloc[i: i + cfg.batch_size]
-            for i in range(0, len(work), cfg.batch_size)
-        ]
+        step = max(1, cfg.task_urls)
+        chunks = [work.iloc[i: i + step] for i in range(0, len(work), step)]
+        import time as _time
+
+        t = _time.perf_counter()
         ds = rd.from_pandas(chunks)
         counters = ds.map_batches(
             fetch_parse_links,
             batch_format="pyarrow",
-            batch_size=cfg.batch_size,
+            batch_size=None,  # one block = one task (granularity set above)
             num_cpus=1,
         ).to_pandas()  # one tiny counter row per task
+        t = self._mark("w_dataset", t)
 
-        # wave-end: every shard merges its survivors into the queue
-        flushed = ray.get([
-            filter_shards[s].enqueue_flush.remote(wave) for s in range(num_shards)
-        ])
-        totals = counters.sum().to_dict()
+        # wave-end barrier: the offers were fired without acks, so reconcile
+        # on the per-shard offered-row counts the tasks reported; a shard
+        # that hasn't seen its full count yet returns None and is retried
+        # (actors process messages in order, so count-match ⇒ offers applied)
+        import time as _time
+
+        expected = np.sum(np.stack(counters["offers"].to_numpy()), axis=0)
+        flushed: list = [None] * num_shards
+        pending_shards = list(range(num_shards))
+        deadline = _time.monotonic() + 120.0
+        while pending_shards:
+            futs = [
+                filter_shards[s].enqueue_flush.remote(wave, int(expected[s]))
+                for s in pending_shards
+            ]
+            still = []
+            for s, r in zip(pending_shards, ray.get(futs)):
+                if r is None:
+                    still.append(s)
+                else:
+                    flushed[s] = r
+            pending_shards = still
+            if pending_shards:
+                if _time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"offer barrier timed out; shards {pending_shards} "
+                        "never reached their expected offer counts"
+                    )
+                _time.sleep(0.002)
+        t = self._mark("w_flush", t)
+        for key in ("t_fetch", "t_parse", "t_write", "t_links", "t_offer"):
+            self.phase_times[key] = self.phase_times.get(key, 0.0) + float(
+                counters[key].sum()
+            )
+        totals = counters[[
+            "fetched", "http_404", "pairs_rows", "parsed_ok", "parse_err"
+        ]].sum().to_dict()
         totals["links"] = sum(f[0] for f in flushed)
         totals["links_new"] = sum(f[1] for f in flushed)
         return totals
@@ -444,6 +509,7 @@ class CrawlJob:
             "seen_total": self.seen.total(),
             "trace_len": self.trace_len,
             "trace": list(self.trace),
+            "phase_times": {k: round(v, 3) for k, v in self.phase_times.items()},
         }
 
     def shutdown(self) -> None:

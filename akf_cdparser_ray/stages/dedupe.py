@@ -135,7 +135,7 @@ def _parquet_chunks(path: str, chunk_rows: int = 65536):
         yield df
 
 
-@ray.remote(num_cpus=0.2)
+@ray.remote(num_cpus=0.05)
 class FrontierShard:
     """Owns one hash shard: cuckoo-filter page + frontier priority-queue
     slice + the wave-scoped enqueue buffer.
@@ -149,7 +149,13 @@ class FrontierShard:
     commutative merge, so task arrival order cannot change the enqueued
     rows. The cuckoo probe itself is insertion-order-independent (an entry's
     two candidate buckets form a set closed under ``i ^ hash(fp)``, so a
-    query sees the fingerprint wherever it landed)."""
+    query sees the fingerprint wherever it landed), and offer() never
+    mutates the filter — inserts happen at flush in sorted-hash order.
+
+    CPU reservation is 0.05: offers are fire-and-forget (tasks never block
+    on this actor mid-wave), so the old starve-the-shard convoy (which
+    needed 0.2) can't happen; the flush drain runs after the wave's compute
+    has released its CPUs."""
 
     def __init__(self, capacity: int = 1 << 16, spill_threshold: int | None = None,
                  spill_path: str | None = None):
@@ -181,9 +187,12 @@ class FrontierShard:
     # -- wave enqueue path --------------------------------------------------
     def offer(self, canons: list[str], hashes: list[int], hosts: list[str],
               depths: list[int]) -> int:
-        """Accept candidate links for this shard's hash range. New hashes
-        enter the filter immediately and buffer in ``pending`` with
-        min-merged metadata until ``enqueue_flush``."""
+        """Accept candidate links for this shard's hash range. The filter is
+        only PROBED here — never mutated — so two new same-wave hashes that
+        alias in the filter both stay pending regardless of task arrival
+        order; filter insertion happens once, in sorted-hash order, at
+        ``enqueue_flush`` (replay invariant: the filter's contents are a pure
+        function of the wave's offered set, not of RPC arrival order)."""
         self.offered += len(hashes)
         hs = np.asarray(hashes, dtype=np.uint64)
         known = self.filter.contains_many(hs)
@@ -195,28 +204,46 @@ class FrontierShard:
                 if cand < prev:
                     self.pending[h] = cand
             elif not known[i]:
-                self.filter.check_and_add(h)
                 self.pending[h] = (int(depths[i]), canons[i], hosts[i])
         return len(hashes)
 
-    def enqueue_flush(self, wave: int) -> tuple[int, int]:
+    def offered_count(self) -> int:
+        return self.offered
+
+    def enqueue_flush(self, wave: int,
+                      expected: int | None = None) -> tuple[int, int] | None:
         """Merge this wave's surviving links into the priority queue as one
-        sorted run; reset the wave buffers. Returns (offered, new)."""
-        links, links_new = self.offered, len(self.pending)
+        sorted run; reset the wave buffers. Returns (offered, new).
+
+        ``expected`` is the wave's offer-reconciliation barrier: tasks fire
+        offers without acks and report per-shard row counts; if fewer rows
+        than expected have arrived the flush returns ``None`` untouched and
+        the driver retries (actors process messages in order, so once the
+        count matches every offer has been applied)."""
+        if expected is not None and self.offered < expected:
+            return None
+        links = self.offered
+        new_items: list[tuple[int, tuple]] = []
         if self.pending:
             items = sorted(self.pending.items())  # by hash: deterministic
-            depths = np.array([v[0] for _, v in items], dtype=np.int64)
+            is_new = self.filter.check_and_add_many(
+                np.array([h for h, _ in items], dtype=np.uint64)
+            )
+            new_items = [it for it, keep in zip(items, is_new) if keep]
+        if new_items:
+            depths = np.array([v[0] for _, v in new_items], dtype=np.int64)
             run = pd.DataFrame(
                 {
-                    "url_canon": [v[1] for _, v in items],
-                    "url_hash": np.array([h for h, _ in items], dtype=np.uint64),
-                    "host": [v[2] for _, v in items],
+                    "url_canon": [v[1] for _, v in new_items],
+                    "url_hash": np.array([h for h, _ in new_items], dtype=np.uint64),
+                    "host": [v[2] for _, v in new_items],
                     "priority": np.maximum(1, 100 - 10 * depths),
                     "depth": depths,
                     "discovered_at": np.int64(wave),
                 }
             )
             self._add_run(_sort_run(run))
+        links_new = len(new_items)
         self.pending = {}
         self.offered = 0
         return links, links_new

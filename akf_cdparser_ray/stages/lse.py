@@ -384,17 +384,34 @@ def classify_batch(batch: pd.DataFrame, zumstein: bool = False) -> pd.DataFrame:
         import hashlib as _h
 
         idxs = pd.Series([
-            int.from_bytes(_h.blake2b(str(l).encode(), digest_size=6).digest(), "big")
+            # 5-byte digest: max 2^40 ≈ 1.1e12 stays inside the int64-safe
+            # seq range (line_idx * 100_000 + elem_idx must not overflow)
+            int.from_bytes(_h.blake2b(str(l).encode(), digest_size=5).digest(), "big")
             for l in batch["line"].fillna("")
         ])
+    # seq = line_idx * 100_000 + elem_idx must stay injective in int64:
+    # elem_idx is bounded by the classifier (a line yields one element per
+    # separator token, far below 100k — asserted below) and line_idx must
+    # fit the quotient range or first-occurrence order would corrupt
+    _SEQ_STRIDE = 100_000
+    _MAX_LINE_IDX = (2**63 - 1) // _SEQ_STRIDE
     for line_idx, line in zip(idxs, batch["line"].fillna("")):
-        for elem_idx, (typ, key, sector) in enumerate(
-            classify_line(str(line), zumstein=zumstein)
-        ):
+        if not (0 <= int(line_idx) <= _MAX_LINE_IDX):
+            raise ValueError(
+                f"line_idx {line_idx} out of the int64-safe seq range "
+                f"[0, {_MAX_LINE_IDX}]"
+            )
+        elems = classify_line(str(line), zumstein=zumstein)
+        if len(elems) >= _SEQ_STRIDE:
+            raise ValueError(
+                f"line produced {len(elems)} classified elements; seq "
+                f"encoding supports < {_SEQ_STRIDE} per line"
+            )
+        for elem_idx, (typ, key, sector) in enumerate(elems):
             sectors.append(sector)
             keys.append(key)
             types.append(typ)
-            seqs.append(int(line_idx) * 100_000 + elem_idx)
+            seqs.append(int(line_idx) * _SEQ_STRIDE + elem_idx)
     return pd.DataFrame({"sector": sectors, "key": keys, "type": types, "seq": seqs})
 
 

@@ -105,14 +105,17 @@ def rolling_fingerprints(text: str, k: int = _RH_K, window: int = _RH_WINDOW) ->
     n = len(data)
     if n < k:
         return np.array([], dtype=np.uint64)
-    # hash of gram i = sum_{j<k} data[i+j] * BASE^(k-1-j)  (mod 2^64)
-    powers = np.empty(k, dtype=np.uint64)
-    powers[-1] = 1
-    for j in range(k - 2, -1, -1):
-        powers[j] = powers[j + 1] * _RH_BASE
-    # sliding dot product via stride trick
-    windows = np.lib.stride_tricks.sliding_window_view(data, k)
-    hashes = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    # hash of gram i = sum_{j<k} data[i+j] * BASE^(k-1-j)  (mod 2^64);
+    # wraparound is intentional — silence numpy's overflow warning so a
+    # caller's np.seterr(all='raise') can't turn it into a crash
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=np.uint64)
+        powers[-1] = 1
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _RH_BASE
+        # sliding dot product via stride trick
+        windows = np.lib.stride_tricks.sliding_window_view(data, k)
+        hashes = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
     if len(hashes) < window:
         return np.unique(hashes.min(keepdims=True))
     mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
