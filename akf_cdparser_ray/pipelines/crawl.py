@@ -74,6 +74,13 @@ class CrawlConfig:
     seed: int = 42
     keep_trace: bool = True        # in-memory trace for summary(); segments on disk either way
     frontier_spill_rows: int | None = None  # per-shard in-memory cap; tail spills to parquet
+    # silence Ray Data progress bars / per-Dataset stat logs for the wave
+    # Datasets (each wave launches one; the bar actors add ~0.5s per launch)
+    quiet_data: bool = True
+    # spawn + warm the map-task worker fleet (imports, dictionary caches) at
+    # job construction — a long crawl amortizes worker spawn across thousands
+    # of waves; warming moves that one-time cost out of the first wave
+    warm_fleet: bool = False
 
 
 def _seed_frontier(cfg: CrawlConfig) -> pd.DataFrame:
@@ -103,6 +110,10 @@ _CTR_KEYS = [
 class CrawlJob:
     def __init__(self, cfg: CrawlConfig):
         self.cfg = cfg
+        if cfg.quiet_data:
+            ctx = rd.DataContext.get_current()
+            ctx.enable_progress_bars = False
+            ctx.enable_auto_log_stats = False
         self.seen = ShardedSeenSet(
             cfg.num_shards, cfg.filter_capacity,
             spill_threshold=cfg.frontier_spill_rows,
@@ -117,6 +128,47 @@ class CrawlJob:
         self.frontier_rows = 0
         # driver-side diagnostics only (never part of counters/replay state)
         self.phase_times: dict[str, float] = {}
+        # async checkpoint finalizer: the shard-side writes are fired on the
+        # main thread (per-actor message order ⇒ state is post-flush(k),
+        # pre-dequeue(k+1)); only the ray.get + driver metadata writes run
+        # here, overlapped with the next wave's compute
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ckpt_pool = ThreadPoolExecutor(max_workers=1)
+        self._ckpt_pending = None
+        if cfg.warm_fleet:
+            self._warm()
+
+    def _warm(self) -> None:
+        """Spawn the map-task worker fleet and populate its per-process
+        caches (dictionaries, compiled regexes) before the first wave —
+        fetch/parse are pure functions, so warming never touches crawl
+        state. On a real cluster a long crawl amortizes this spawn over
+        thousands of waves; the flag makes the first wave steady-state."""
+        from ..stages.cached import cached_fetch_batch, cached_parse_batch
+        from ..stages.links import canonicalize_url
+        from ..sources.synth import page_url_for_idx
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n = cpus * 8
+        urls = [
+            canonicalize_url(page_url_for_idx(i % max(1, self.cfg.corpus_size)))
+            for i in range(n)
+        ]
+        work = pd.DataFrame({"url_canon": urls, "depth": 0})
+        chunks = [work.iloc[i: i + 2] for i in range(0, len(work), 2)]
+        (
+            rd.from_pandas(chunks)
+            .map_batches(
+                cached_fetch_batch(self.cfg.corpus_size, self.cfg.seed),
+                batch_format="pyarrow", batch_size=None, num_cpus=1,
+            )
+            .map_batches(
+                cached_parse_batch(), batch_format="pyarrow",
+                batch_size=None, num_cpus=1,
+            )
+            .count()
+        )
 
     # ------------------------------------------------------------------
     # checkpoint layout
@@ -130,27 +182,45 @@ class CrawlJob:
     def _filter_path(self, wave: int, shard: int) -> str:
         return os.path.join(self._checkpoint_dir(wave), "filters", f"shard{shard}.page")
 
-    def checkpoint(self, wave_counter: dict | None, wave_trace: list) -> list[int]:
+    def checkpoint(self, wave_counter: dict | None, wave_trace: list) -> None:
         """Per-wave checkpoint: every FrontierShard writes its own frontier
         parquet + filter page in parallel (worker-side); the driver writes
-        only O(wave) metadata. ``_COMPLETE`` marker last."""
+        only O(wave) metadata. ``_COMPLETE`` marker last.
+
+        Overlapped: the shard/gate RPCs fire on the main thread HERE —
+        before the next wave's dequeue RPCs, so per-actor message order
+        pins the captured state to post-flush(k) / post-gate(k) exactly as
+        a serial checkpoint would — while the ``ray.get`` + metadata writes
+        run on the finalizer thread, concurrent with wave k+1's compute.
+        Checkpoints serialize with each other (join before fire)."""
+        self.join_checkpoint()
         d = self._checkpoint_dir(self.wave)
         os.makedirs(os.path.join(d, "frontier"), exist_ok=True)
         os.makedirs(os.path.join(d, "filters"), exist_ok=True)
-        shard_rows = ray.get([
+        shard_futs = [
             sh.checkpoint.remote(
                 self._frontier_path(self.wave, s), self._filter_path(self.wave, s)
             )
             for s, sh in enumerate(self.seen.shards)
-        ])
+        ]
+        gate_futs = [g.serialize.remote() for g in self.gates]
+        self._ckpt_pending = self._ckpt_pool.submit(
+            self._finalize_checkpoint, self.wave, self.trace_len,
+            shard_futs, gate_futs, wave_counter, list(wave_trace),
+        )
+
+    def _finalize_checkpoint(self, wave: int, trace_len: int, shard_futs,
+                             gate_futs, wave_counter, wave_trace) -> list[int]:
+        d = self._checkpoint_dir(wave)
+        shard_rows = ray.get(shard_futs)
         self.frontier_rows = sum(shard_rows)
-        gate_states = ray.get([g.serialize.remote() for g in self.gates])
+        gate_states = ray.get(gate_futs)
         with open(os.path.join(d, "trace.json"), "w") as f:
             json.dump(wave_trace, f)
         meta = {
-            "wave": self.wave,
+            "wave": wave,
             "counter": wave_counter,
-            "trace_len": self.trace_len,
+            "trace_len": trace_len,
             "frontier_rows": shard_rows,
             "gates": gate_states,
             "lineage": {
@@ -167,6 +237,12 @@ class CrawlJob:
         with open(os.path.join(d, "_COMPLETE"), "w") as f:
             f.write("ok")
         return shard_rows
+
+    def join_checkpoint(self) -> None:
+        """Block until the in-flight checkpoint (if any) is durable."""
+        if self._ckpt_pending is not None:
+            self._ckpt_pending.result()
+            self._ckpt_pending = None
 
     def resume(self) -> bool:
         root = os.path.join(self.cfg.out_dir, "checkpoint")
@@ -219,7 +295,10 @@ class CrawlJob:
         return dequeued.reset_index(drop=True)
 
     def _gate(self, cand: pd.DataFrame, wave: int) -> pd.DataFrame:
-        """Politeness + robots via the host-hash-pinned shard actors."""
+        """Politeness + robots via the host-hash-pinned shard actors.
+        Driver side is vectorized: shard ids are computed once per unique
+        (host, salt) pair (hosts repeat heavily in a wave), rows travel to
+        the gate actors as columnar lists, and only decisions come back."""
         if cand.empty:
             cand = cand.copy()
             cand["decision"] = pd.Series(dtype=str)
@@ -228,14 +307,23 @@ class CrawlJob:
         hot = set(share[share > self.cfg.hot_host_threshold].index)
         salts = {h: self.cfg.n_salts for h in hot}
         cand = cand.copy()
-        salt_vec = [
-            int(uh % np.uint64(self.cfg.n_salts)) if h in hot else 0
-            for uh, h in zip(cand["url_hash"].to_numpy(dtype=np.uint64), cand["host"])
+        if hot:
+            hot_mask = cand["host"].isin(hot).to_numpy()
+            salt_vec = np.where(
+                hot_mask,
+                (cand["url_hash"].to_numpy(dtype=np.uint64)
+                 % np.uint64(self.cfg.n_salts)).astype(np.int64),
+                0,
+            )
+        else:
+            salt_vec = np.zeros(len(cand), dtype=np.int64)
+        cand["salt"] = salt_vec
+        uniq = cand[["host", "salt"]].drop_duplicates()
+        uniq["gate_shard"] = [
+            host_shard(h, int(s), self.cfg.num_politeness_shards)
+            for h, s in zip(uniq["host"], uniq["salt"])
         ]
-        cand["gate_shard"] = [
-            host_shard(h, s, self.cfg.num_politeness_shards)
-            for h, s in zip(cand["host"], salt_vec)
-        ]
+        cand = cand.merge(uniq, on=["host", "salt"], how="left")
         # deterministic order inside each shard: priority desc, url asc
         cand = cand.sort_values(
             ["gate_shard", "priority", "url_canon"], ascending=[True, False, True]
@@ -243,14 +331,16 @@ class CrawlJob:
         decisions = np.empty(len(cand), dtype=object)
         futures = []
         for shard_id, group in cand.groupby("gate_shard", sort=True):
-            rows = group[["host", "url_canon"]].to_dict("records")
             futures.append(
-                (group.index, self.gates[shard_id].gate.remote(rows, wave, salts))
+                (group.index, self.gates[shard_id].gate.remote(
+                    group["host"].tolist(), group["url_canon"].tolist(),
+                    wave, salts,
+                ))
             )
         for idxs, fut in futures:
             decisions[idxs] = ray.get(fut)
         cand["decision"] = decisions
-        return cand.drop(columns=["gate_shard"])
+        return cand.drop(columns=["gate_shard", "salt"])
 
     # ------------------------------------------------------------------
     def _mark(self, key: str, t0: float) -> float:
@@ -387,18 +477,23 @@ class CrawlJob:
             if links_b.num_rows:
                 hashes = links_b.column("url_hash").to_numpy(zero_copy_only=False)
                 shard = (hashes % np.uint64(num_shards)).astype(np.int64)
-                canons = links_b.column("url_canon").to_pylist()
-                hosts = links_b.column("host").to_pylist()
-                depths = links_b.column("depth").to_pylist()
-                for s in np.unique(shard):
-                    idx = np.flatnonzero(shard == s)
+                # one arrow take sorted by shard, then contiguous slices per
+                # shard — no per-row Python indexing
+                order = np.argsort(shard, kind="stable")
+                sorted_b = links_b.take(pa.array(order))
+                canons = sorted_b.column("url_canon").to_pylist()
+                hosts = sorted_b.column("host").to_pylist()
+                depths = sorted_b.column("depth").to_pylist()
+                h_sorted = hashes[order]
+                s_sorted = shard[order]
+                uniq, starts = np.unique(s_sorted, return_index=True)
+                ends = np.append(starts[1:], len(s_sorted))
+                for s, st, en in zip(uniq, starts, ends):
                     filter_shards[int(s)].offer.remote(
-                        [canons[i] for i in idx],
-                        hashes[idx].tolist(),
-                        [hosts[i] for i in idx],
-                        [int(depths[i]) for i in idx],
+                        canons[st:en], h_sorted[st:en].tolist(),
+                        hosts[st:en], depths[st:en],
                     )
-                    per_shard[int(s)] = len(idx)
+                    per_shard[int(s)] = en - st
             t5 = _time.perf_counter()
             return pa.table(
                 {
@@ -499,9 +594,11 @@ class CrawlJob:
             ctr = self.run_wave()
             if ctr["dequeued"] == 0:
                 break
+        self.join_checkpoint()
         return self.summary()
 
     def summary(self) -> dict:
+        self.join_checkpoint()  # frontier_rows is written by the finalizer
         return {
             "waves": self.wave,
             "counters": self.counters,
@@ -513,6 +610,8 @@ class CrawlJob:
         }
 
     def shutdown(self) -> None:
+        self.join_checkpoint()
+        self._ckpt_pool.shutdown(wait=True)
         self.seen.shutdown()
         for g in self.gates:
             ray.kill(g)

@@ -29,19 +29,23 @@ class PolitenessShard:
     def __init__(self, budgets: dict | None = None):
         self.state = PolitenessState(budgets, robots_fetch=synth_robots_txt)
 
-    def gate(self, rows: list[dict], wave: int, salts: dict) -> list[str]:
-        """rows: candidate fetches sorted by (-priority, url_canon) by the
-        caller. Returns one decision per row: 'allow' | 'defer' | 'robots'."""
+    def gate(self, hosts: list[str], urls: list[str], wave: int,
+             salts: dict) -> list[str]:
+        """Columnar candidate fetches, sorted by (-priority, url_canon) by
+        the caller. Returns one decision per row: 'allow' | 'defer' |
+        'robots'. (Columnar args: one pickled list per column instead of a
+        dict per row — the RPC payload is the wave's hot path.)"""
         decisions = []
-        for row in rows:
-            host = row["host"]
+        rules_for = self.state.rules_for
+        bucket_for = self.state.bucket_for
+        for host, url in zip(hosts, urls):
             n_salts = salts.get(host, 1)
-            rules = self.state.rules_for(host)
-            path = row["url_canon"].split(host, 1)[-1] or "/"
+            rules = rules_for(host)
+            path = url.split(host, 1)[-1] or "/"
             if not rules.allowed(path):
                 decisions.append("robots")
                 continue
-            bucket = self.state.bucket_for(host, n_salts)
+            bucket = bucket_for(host, n_salts)
             bucket.refill(wave)
             decisions.append("allow" if bucket.try_take() else "defer")
         return decisions

