@@ -72,19 +72,18 @@ def lsh_topk(emb_ds, query_vectors: dict, k: int = 10, nbits: int = 8, concurren
 
     first = emb_ds.take(1)[0]
     dim = len(first["embedding"])
-    lsh = HyperplaneLSH(dim=dim, nbits=nbits)
+    lsh = HyperplaneLSH(dim=dim, full_bits=nbits)
     qids = list(query_vectors.keys())
     qmat = np.stack([np.asarray(v, dtype=np.float32) for v in query_vectors.values()])
     signs = (qmat @ lsh.planes.T) > 0
-    qbuckets = {
-        qid: int.from_bytes(np.packbits(row)[:2].tobytes(), "little")
-        for qid, row in zip(qids, signs)
-    }
+    weights = np.uint64(1) << np.arange(nbits - 1, -1, -1, dtype=np.uint64)
+    qcodes = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    qbuckets = {qid: int(c) for qid, c in zip(qids, qcodes)}
     wanted = set(qbuckets.values())
 
     def filter_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         sub = lsh(batch)
-        keep = sub["bucket"].isin(wanted).to_numpy()
+        keep = sub["code"].isin(wanted).to_numpy()
         return batch[keep]
 
     cand = emb_ds.map_batches(filter_bucket, batch_format="pandas")

@@ -68,7 +68,11 @@ def _jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
 
 
 class MinHashStage:
-    """documents batch → (doc_id, band_id, band_key) rows (exploded)."""
+    """documents batch → (doc_id, band_id, band_key, sub_key) rows
+    (exploded). ``sub_key`` is a hash of the COMPLEMENT signature (every
+    band except this one): oversized band buckets are sub-chunked in
+    ``bucket_pairs`` along the sub_key order, so documents that also agree
+    elsewhere in the signature sort adjacently and stay comparable."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 7):
         assert num_perm % bands == 0
@@ -78,20 +82,30 @@ class MinHashStage:
         self.k = shingle_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_keys = [], [], []
+        doc_ids, band_ids, band_keys, sub_keys = [], [], [], []
+        r = self.rows_per_band
         for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
             sig = minhash_signature(_word_shingles(text, self.k), self.a, self.b)
+            sig_bytes = sig.tobytes()
             for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band: (band + 1) * self.rows_per_band]
-                key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                lo, hi = band * r * 8, (band + 1) * r * 8
+                key = hashlib.blake2b(sig_bytes[lo:hi], digest_size=8).hexdigest()
+                complement = sig_bytes[:lo] + sig_bytes[hi:]
+                sub = int.from_bytes(
+                    hashlib.blake2b(complement, digest_size=8).digest(), "little"
+                )
                 doc_ids.append(doc_id)
                 band_ids.append(band)
                 band_keys.append(key)
-        return pd.DataFrame({"doc_id": doc_ids, "band_id": band_ids, "band_key": band_keys})
+                sub_keys.append(np.int64(np.uint64(sub)))
+        return pd.DataFrame({
+            "doc_id": doc_ids, "band_id": band_ids, "band_key": band_keys,
+            "sub_key": pd.Series(sub_keys, dtype="int64"),
+        })
 
 
 def minhash_lsh_pairs(docs_ds, *, num_perm=64, bands=16, shingle_k=3,
-                      threshold=0.7, concurrency=2):
+                      threshold=0.7, concurrency=2, bucket_cap=1024):
     """Full near-dup pipeline over a documents Dataset → pandas DataFrame of
     verified pairs (doc_a < doc_b, jaccard >= threshold).
 
@@ -112,14 +126,50 @@ def minhash_lsh_pairs(docs_ds, *, num_perm=64, bands=16, shingle_k=3,
     )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"]))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
+        """Candidate pairs within one band bucket, with a SIZE CAP: a
+        degenerate bucket (boilerplate-heavy corpora put thousands of
+        near-identical docs behind one band key) would otherwise emit
+        m(m-1)/2 rows. Buckets over ``bucket_cap`` are chunked along the
+        (sub_key, doc_id) order — docs agreeing on the rest of the
+        signature sort adjacently — and pairs are emitted within chunks
+        only, bounding emission at m*cap/2 (linear in m). Chunk boundaries
+        are ROTATED per band (offset band_id*cap/bands), so two docs within
+        sorted distance < cap*(1-1/bands) share a chunk in at least one
+        band: near-dup chains still connect across chunk edges via the
+        other bands. Splits are logged — never silent."""
+        uniq = group.drop_duplicates("doc_id")
+        m = len(uniq)
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                              "doc_b": pd.Series(dtype="int64")})
+        if m < 2:
+            return empty
+        if m <= bucket_cap:
+            ids = np.sort(uniq["doc_id"].to_numpy(dtype=np.int64))
+            ia, ib = np.triu_indices(m, k=1)
+            return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        band = int(group["band_id"].iloc[0])
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash band bucket of %d docs exceeds cap=%d "
+            "(band=%d key=%s): chunking with per-band rotation",
+            m, bucket_cap, band, group["band_key"].iloc[0],
+        )
+        order = np.lexsort((
+            uniq["doc_id"].to_numpy(dtype=np.int64),
+            uniq["sub_key"].to_numpy(dtype=np.int64),
+        ))
+        ids = uniq["doc_id"].to_numpy(dtype=np.int64)[order]
+        offset = (band * bucket_cap) // bands
+        chunk_of = (np.arange(m) + offset) // bucket_cap
+        outs = []
+        for c in np.unique(chunk_of):
+            members = np.sort(ids[chunk_of == c])
+            if len(members) < 2:
+                continue
+            ia, ib = np.triu_indices(len(members), k=1)
+            outs.append(pd.DataFrame({"doc_a": members[ia], "doc_b": members[ib]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     def first_row(group: pd.DataFrame) -> pd.DataFrame:
         return group.head(1)
@@ -259,26 +309,69 @@ def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 class HyperplaneLSH:
-    """embeddings batch → (vec_id, bucket, embedding) rows using seeded
-    hyperplanes; the embedding travels with the row to its single bucket so
-    the verify can run inside the bucket group (one shuffle, no re-join)."""
+    """embeddings batch → (vec_id, code, embedding) rows using seeded
+    hyperplanes. ``code`` is a FULL-DEPTH sign code (``full_bits`` planes,
+    plane 0 = most-significant bit): the bucket key used downstream is a
+    PREFIX of it, so oversized buckets can be split by deepening their
+    prefix without re-reading the embeddings. The first ``nbits`` planes of
+    any ``full_bits >= nbits`` matrix are identical draws (numpy fills
+    row-major from one seeded stream), so the depth-``nbits`` partition is
+    independent of ``full_bits``."""
 
-    def __init__(self, dim: int = 64, nbits: int = 12, seed: int = 11):
+    def __init__(self, dim: int = 64, full_bits: int = 18, seed: int = 11):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((nbits, dim)).astype(np.float32)
+        self.planes = rng.standard_normal((full_bits, dim)).astype(np.float32)
+        self.full_bits = full_bits
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(batch["embedding"].to_numpy())
         signs = (mat @ self.planes.T) > 0
-        buckets = np.packbits(signs, axis=1)[:, :2]
-        keys = [int.from_bytes(row.tobytes(), "little") for row in buckets]
+        weights = (np.uint64(1) << np.arange(
+            self.full_bits - 1, -1, -1, dtype=np.uint64
+        ))
+        code = (signs.astype(np.uint64) * weights[None, :]).sum(axis=1)
         return pd.DataFrame({
-            "vec_id": batch["vec_id"], "bucket": keys,
+            "vec_id": batch["vec_id"],
+            "code": code.astype(np.int64),
             "embedding": batch["embedding"],
         })
 
 
-def embedding_neardup_pairs(emb_ds, *, threshold=0.95, nbits=12, concurrency=2):
+def _split_depths(code_counts: pd.DataFrame, nbits: int, full_bits: int,
+                  step: int, cap: int) -> dict[int, set[int]]:
+    """Given (code, n) counts at full depth, decide which bucket prefixes
+    must deepen: returns {depth: set(prefix values at that depth that split
+    further)}. Pure driver-side arithmetic over the counts table (size ≤
+    distinct full codes, bounded by 2^full_bits)."""
+    codes = code_counts["code"].to_numpy(dtype=np.int64).astype(np.uint64)
+    counts = code_counts["n"].to_numpy(dtype=np.int64)
+    splits: dict[int, set[int]] = {}
+    depth = nbits
+    while depth < full_bits:
+        pref = codes >> np.uint64(full_bits - depth)
+        # aggregate counts by prefix at this depth
+        order = np.argsort(pref, kind="stable")
+        p_sorted, c_sorted = pref[order], counts[order]
+        uniq, starts = np.unique(p_sorted, return_index=True)
+        sums = np.add.reduceat(c_sorted, starts)
+        over = uniq[sums > cap]
+        if depth > nbits:
+            # only prefixes whose parent actually split are live buckets
+            parent_depth = depth - step
+            live = splits.get(parent_depth, set())
+            over = np.array(
+                [p for p in over if int(p) >> (depth - parent_depth) in live],
+                dtype=np.uint64,
+            )
+        if len(over) == 0:
+            break
+        splits[depth] = {int(p) for p in over}
+        depth += step
+    return splits
+
+
+def embedding_neardup_pairs(emb_ds, *, threshold=0.95, nbits=12, concurrency=2,
+                            bucket_cap=4096, full_bits=18, split_step=3):
     """LSH-bucketed candidates → exact cosine verify (pairs vec_a < vec_b).
 
     Distributed end-to-end: each embedding is shuffled once to its bucket
@@ -286,29 +379,113 @@ def embedding_neardup_pairs(emb_ds, *, threshold=0.95, nbits=12, concurrency=2):
     Gram-matrix cosine inside ``map_groups`` — no driver-side embedding
     dict, no per-pair Python loop. The driver receives only the verified
     pairs.
+
+    ADAPTIVE BUCKETING: with a fixed 2^nbits bucket count the per-bucket
+    population grows linearly with the corpus and the O(m²) within-bucket
+    Gram matrix blows one worker's memory. Buckets over ``bucket_cap``
+    rows deepen their hyperplane prefix in ``split_step``-bit increments
+    (up to ``full_bits``), decided from a cheap distributed count of the
+    full-depth codes — no extra pass over the embeddings, the deeper key
+    is a longer prefix of the code each row already carries. Splits are
+    logged. Vectors identical out to ``full_bits`` planes can still exceed
+    the cap; the verify then runs a row-blocked Gram product (peak memory
+    O(block × m), never O(m²)) and warns.
     """
+    import logging
+
     first = emb_ds.take(1)[0]
     dim = len(first["embedding"])
-    with_bucket = emb_ds.map_batches(
-        HyperplaneLSH, fn_constructor_kwargs={"dim": dim, "nbits": nbits},
+    assert nbits <= full_bits
+    with_code = emb_ds.map_batches(
+        HyperplaneLSH, fn_constructor_kwargs={"dim": dim, "full_bits": full_bits},
         batch_format="pandas", concurrency=concurrency,
+    ).materialize()  # consumed twice: code counts + bucket shuffle
+
+    # distributed count of full-depth codes → small driver table
+    def code_counts_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("code", sort=False).size()
+        return pd.DataFrame({"code": g.index.to_numpy(), "n": g.to_numpy()})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        with_code.select_columns(["code"])
+        .map_batches(code_counts_batch, batch_format="pandas")
+        .groupby("code").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
     )
+    splits = _split_depths(counts, nbits, full_bits, split_step, bucket_cap)
+    if splits:
+        logging.getLogger(__name__).warning(
+            "embedding LSH: %s oversized bucket prefixes deepened (cap=%d): %s",
+            sum(len(v) for v in splits.values()), bucket_cap,
+            {d: len(v) for d, v in sorted(splits.items())},
+        )
+
+    def assign_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        code = batch["code"].to_numpy(dtype=np.int64).astype(np.uint64)
+        depth = np.full(len(code), nbits, dtype=np.int64)
+        d = nbits
+        while d in splits:  # split depths are contiguous from nbits
+            pref = code >> np.uint64(full_bits - d)
+            targets = np.fromiter(splits[d], dtype=np.uint64,
+                                  count=len(splits[d]))
+            mask = (depth == d) & np.isin(pref, targets)
+            depth[mask] = min(d + split_step, full_bits)
+            d += split_step
+        # bucket key = (depth, prefix) packed: depth in the top byte keeps
+        # different-depth prefixes collision-free
+        pref = code >> (np.uint64(full_bits) - depth.astype(np.uint64))
+        bucket = (depth.astype(np.uint64) << np.uint64(56)) | pref
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"],
+            "bucket": bucket.astype(np.int64),
+            "embedding": batch["embedding"],
+        })
+
+    with_bucket = with_code.map_batches(assign_bucket, batch_format="pandas")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.asarray([int(v) for v in group["vec_id"]], dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         M = np.stack(group["embedding"].to_numpy())[order].astype(np.float64)
+        m = len(ids)
         n = np.linalg.norm(M, axis=1)
-        sims = (M @ M.T) / (np.outer(n, n) + 1e-12)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        vals = sims[ia, ib]
-        mask = vals >= threshold
-        return pd.DataFrame({
-            "vec_a": ids[ia[mask]],
-            "vec_b": ids[ib[mask]],
-            "cosine": np.round(vals[mask], 6),
-        })
+        Mn = M / (n[:, None] + 1e-12)
+        if m <= bucket_cap:
+            sims = Mn @ Mn.T
+            ia, ib = np.triu_indices(m, k=1)
+            vals = sims[ia, ib]
+            mask = vals >= threshold
+            return pd.DataFrame({
+                "vec_a": ids[ia[mask]],
+                "vec_b": ids[ib[mask]],
+                "cosine": np.round(vals[mask], 6),
+            })
+        # identical-code overflow bucket: row-blocked Gram, memory O(block*m)
+        logging.getLogger(__name__).warning(
+            "embedding LSH bucket of %d rows exceeds cap=%d even at full "
+            "depth: running row-blocked exact verify", m, bucket_cap,
+        )
+        block = max(1, bucket_cap // 4)
+        outs = []
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            sims = Mn[lo:hi] @ Mn.T
+            ia, ib = np.nonzero(sims >= threshold)
+            keep = (ia + lo) < ib  # upper triangle only
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "vec_a": ids[ia[keep] + lo],
+                    "vec_b": ids[ib[keep]],
+                    "cosine": np.round(sims[ia[keep], ib[keep]], 6),
+                }))
+        if not outs:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
 
     pairs = with_bucket.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
     if pairs.empty:

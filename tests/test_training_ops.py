@@ -469,3 +469,93 @@ def test_rolling_fingerprints_shift_robust():
     assert inter_ab > 0.8 > inter_ac
     assert rolling_fingerprints("tiny").size == 0           # < k chars
     assert rolling_fingerprints("12345678").size == 1       # exactly one gram
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_bucket_cap_skew():
+    """VERDICT r2 #2: a degenerate band bucket (hundreds of near-identical
+    boilerplate docs behind one band key) must not emit an m² pair group.
+    With the cap, emission is bounded at m*cap/2 per band, and the rotated
+    chunk boundaries keep the near-dup chain connected across chunks."""
+    import ray.data as rd
+
+    base = "standard boilerplate header terms conditions apply " * 3
+    m = 120
+    docs = pd.DataFrame({
+        "doc_id": range(m),
+        "text": [base for _ in range(m)],      # identical: worst-case bucket
+    })
+    cap = 16
+    pairs = dedup_text.minhash_lsh_pairs(
+        rd.from_pandas(docs), threshold=0.5, concurrency=1, bucket_cap=cap,
+    )
+    # capped emission: no all-pairs blowup (m(m-1)/2 = 7140 for m=120)
+    assert 0 < len(pairs) < m * (m - 1) // 2
+    # every surviving pair is a true dup (identical docs: jaccard == 1)
+    assert (pairs["jaccard"] == 1.0).all()
+    # the dup CLUSTER stays one connected component (rotation guarantee)
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(m)}) == 1
+
+    # a normal (small-bucket) corpus is byte-identical with or without cap
+    small = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, base + " tail", "unrelated flowers and gardens " * 4],
+    })
+    with_cap = dedup_text.minhash_lsh_pairs(
+        rd.from_pandas(small), threshold=0.5, concurrency=1, bucket_cap=8)
+    no_cap = dedup_text.minhash_lsh_pairs(
+        rd.from_pandas(small), threshold=0.5, concurrency=1, bucket_cap=10**9)
+    pd.testing.assert_frame_equal(with_cap, no_cap)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_adaptive_bucket_split():
+    """VERDICT r2 #3: buckets over the row cap deepen their hyperplane
+    prefix (no O(m²) Gram on one worker); near-identical vectors share the
+    full-depth code so planted pairs survive any split depth; an
+    identical-code overflow bucket falls back to the row-blocked verify."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.dedup_text import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    n = 300
+    vecs = rng.standard_normal((n, 16)).astype(np.float32)
+    # planted near-dups (identical full-depth codes -> split-proof)
+    for a, b in ((3, 100), (7, 200), (50, 250)):
+        vecs[b] = vecs[a] + rng.standard_normal(16).astype(np.float32) * 0.005
+    df = pd.DataFrame({"vec_id": range(n), "embedding": list(vecs)})
+    # nbits=2 -> ~75 rows/bucket; cap=24 forces several split rounds
+    split = embedding_neardup_pairs(
+        rd.from_pandas(df), threshold=0.98, nbits=2, concurrency=1,
+        bucket_cap=24, full_bits=14, split_step=3,
+    )
+    got = set(zip(split["vec_a"], split["vec_b"]))
+    assert {(3, 100), (7, 200), (50, 250)} <= got
+    # splitting only ever REMOVES candidate comparisons
+    nosplit = embedding_neardup_pairs(
+        rd.from_pandas(df), threshold=0.98, nbits=2, concurrency=1,
+        bucket_cap=10**9, full_bits=14,
+    )
+    assert got <= set(zip(nosplit["vec_a"], nosplit["vec_b"]))
+
+    # identical-direction overflow bucket: same code at FULL depth, so the
+    # cap can't split it -> blocked exact verify still finds every pair
+    base = rng.standard_normal(16).astype(np.float32)
+    clones = np.stack([base * (1.0 + 0.001 * i) for i in range(40)])
+    cdf = pd.DataFrame({"vec_id": range(40), "embedding": list(clones)})
+    blocked = embedding_neardup_pairs(
+        rd.from_pandas(cdf), threshold=0.999, nbits=2, concurrency=1,
+        bucket_cap=10, full_bits=14,
+    )
+    assert len(blocked) == 40 * 39 // 2  # scaling preserves cosine exactly
