@@ -20,16 +20,26 @@ warm actor RPCs; the only driver-held frontier data is the ≤ k·S dequeued
 rows per wave (bounded by config, not by data) and per-wave counters. Links
 never reach the driver.
 
-Checkpoints are per wave: each shard actor writes its own frontier parquet
-+ filter page (worker-side, parallel), the driver writes the politeness
-states, this wave's counter, this wave's trace segment and lineage, then a
-``_COMPLETE`` marker last — so a killed job resumes exactly. Dequeue order
-is a pure function of (priority, url, wave), so the same seeds + budget
-replay to the identical trace (replay invariant). Checkpoint payload is
-O(frontier/S per shard, written in parallel) + O(wave) driver metadata;
-nothing driver-held is re-serialized in full (the in-memory trace list
-exists only to answer ``summary()``; disable with ``keep_trace=False`` for
-unbounded runs).
+SOFTWARE-PIPELINED WAVES (``pipeline_depth``, default 2): wave k+1's
+dequeue + gate + fetch/parse Dataset run concurrently with wave k's —
+hiding the per-wave Ray Data launch floor and the politeness/flush barrier
+behind the previous wave's compute. Determinism is schedule-independent
+because visibility is *state-encoded in the shards*: links flushed by wave
+k become dequeuable at wave k+2 and wave-k defers at wave k+1, so
+``dequeue(k)`` is a pure function of the operation sequence (seeds,
+dequeues, defers, flushes ≤ k-2), never of when a concurrent flush lands.
+A depth-1 (serial) run produces the byte-identical trace/counters/pairs as
+a depth-2 run (tests/test_crawl.py::test_pipeline_depth_equivalent).
+
+Checkpoints are per flushed wave: each shard actor writes its own frontier
+parquet (+ future-bucket sidecar) + filter page (worker-side, parallel);
+the driver writes the politeness states, this wave's counter, this wave's
+trace segment, the in-flight wave's gated candidate table (≤ k·S rows) and
+lineage, then a ``_COMPLETE`` marker last — so a killed job resumes
+exactly: the shard cut is post-dequeue(k+1)/post-flush(k), and the stored
+gated table lets resume re-launch the in-flight wave without re-gating.
+Dequeue order is a pure function of (priority, url, wave), so the same
+seeds + budget replay to the identical trace (replay invariant).
 """
 
 from __future__ import annotations
@@ -81,6 +91,14 @@ class CrawlConfig:
     # job construction — a long crawl amortizes worker spawn across thousands
     # of waves; warming moves that one-time cost out of the first wave
     warm_fleet: bool = False
+    # overlapped waves in flight (1 = serial; results are identical at any
+    # depth ≤ visibility_lag — visibility is state-encoded in the shards,
+    # see module doc)
+    pipeline_depth: int = 2
+    # waves until flushed links become dequeuable (None = pipeline_depth).
+    # lag 1 = classic serial BFS (requires depth 1); lag 2 tolerates one
+    # overlapped wave. Part of the crawl's deterministic semantics.
+    visibility_lag: int | None = None
 
 
 def _seed_frontier(cfg: CrawlConfig) -> pd.DataFrame:
@@ -126,16 +144,19 @@ class CrawlJob:
         self.trace: list[tuple[int, int, str]] = []  # (wave, seq, url)
         self.trace_len = 0
         self.frontier_rows = 0
+        self._resume_recs: list[dict] = []
         # driver-side diagnostics only (never part of counters/replay state)
         self.phase_times: dict[str, float] = {}
-        # async checkpoint finalizer: the shard-side writes are fired on the
-        # main thread (per-actor message order ⇒ state is post-flush(k),
-        # pre-dequeue(k+1)); only the ray.get + driver metadata writes run
-        # here, overlapped with the next wave's compute
         from concurrent.futures import ThreadPoolExecutor
 
+        # async checkpoint finalizer: the shard-side writes are fired on the
+        # main thread (per-actor message order ⇒ state is pinned at the cut);
+        # only the ray.get + driver metadata writes run here, overlapped with
+        # the next wave's compute
         self._ckpt_pool = ThreadPoolExecutor(max_workers=1)
         self._ckpt_pending = None
+        # wave Dataset executions (the overlapped part of the pipeline)
+        self._ds_pool = ThreadPoolExecutor(max_workers=max(1, cfg.pipeline_depth))
         if cfg.warm_fleet:
             self._warm()
 
@@ -145,8 +166,6 @@ class CrawlJob:
         fetch/parse are pure functions, so warming never touches crawl
         state. On a real cluster a long crawl amortizes this spawn over
         thousands of waves; the flag makes the first wave steady-state."""
-        from ..stages.cached import cached_fetch_batch, cached_parse_batch
-        from ..stages.links import canonicalize_url
         from ..sources.synth import page_url_for_idx
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -182,17 +201,19 @@ class CrawlJob:
     def _filter_path(self, wave: int, shard: int) -> str:
         return os.path.join(self._checkpoint_dir(wave), "filters", f"shard{shard}.page")
 
-    def checkpoint(self, wave_counter: dict | None, wave_trace: list) -> None:
+    def checkpoint(self, wave_counter: dict | None, wave_trace: list,
+                   inflight: list[dict] | None = None) -> None:
         """Per-wave checkpoint: every FrontierShard writes its own frontier
         parquet + filter page in parallel (worker-side); the driver writes
-        only O(wave) metadata. ``_COMPLETE`` marker last.
+        only O(wave) metadata plus the gated candidate table of each
+        in-flight wave (≤ k·S rows). ``_COMPLETE`` marker last.
 
         Overlapped: the shard/gate RPCs fire on the main thread HERE —
-        before the next wave's dequeue RPCs, so per-actor message order
-        pins the captured state to post-flush(k) / post-gate(k) exactly as
-        a serial checkpoint would — while the ``ray.get`` + metadata writes
-        run on the finalizer thread, concurrent with wave k+1's compute.
-        Checkpoints serialize with each other (join before fire)."""
+        before the next wave's dequeue RPCs, so per-actor message order pins
+        the captured state to post-flush(k) / post-dequeue(k+1) exactly —
+        while the ``ray.get`` + metadata writes run on the finalizer
+        thread, concurrent with the in-flight waves' compute. Checkpoints
+        serialize with each other (join before fire)."""
         self.join_checkpoint()
         d = self._checkpoint_dir(self.wave)
         os.makedirs(os.path.join(d, "frontier"), exist_ok=True)
@@ -204,25 +225,42 @@ class CrawlJob:
             for s, sh in enumerate(self.seen.shards)
         ]
         gate_futs = [g.serialize.remote() for g in self.gates]
+        inflight_meta = [
+            {"wave": rec["wave"], "trace_base": rec["trace_base"],
+             "gated": rec["gated"]}
+            for rec in (inflight or []) if not rec["empty"]
+        ]
         self._ckpt_pending = self._ckpt_pool.submit(
             self._finalize_checkpoint, self.wave, self.trace_len,
-            shard_futs, gate_futs, wave_counter, list(wave_trace),
+            shard_futs, gate_futs, wave_counter, list(wave_trace), inflight_meta,
         )
 
     def _finalize_checkpoint(self, wave: int, trace_len: int, shard_futs,
-                             gate_futs, wave_counter, wave_trace) -> list[int]:
+                             gate_futs, wave_counter, wave_trace,
+                             inflight_meta) -> list[int]:
         d = self._checkpoint_dir(wave)
         shard_rows = ray.get(shard_futs)
         self.frontier_rows = sum(shard_rows)
         gate_states = ray.get(gate_futs)
         with open(os.path.join(d, "trace.json"), "w") as f:
             json.dump(wave_trace, f)
+        inflight_entries = []
+        for rec in inflight_meta:
+            name = f"inflight_wave{rec['wave']:03d}.parquet"
+            tbl = pa.Table.from_pandas(rec["gated"], preserve_index=False)
+            import pyarrow.parquet as pq
+
+            pq.write_table(tbl, os.path.join(d, name))
+            inflight_entries.append(
+                {"wave": rec["wave"], "trace_base": rec["trace_base"], "gated": name}
+            )
         meta = {
             "wave": wave,
             "counter": wave_counter,
             "trace_len": trace_len,
             "frontier_rows": shard_rows,
             "gates": gate_states,
+            "inflight": inflight_entries,
             "lineage": {
                 "num_shards": self.cfg.num_shards,
                 "seeds": self.cfg.seeds,
@@ -254,7 +292,8 @@ class CrawlJob:
         )
         if not waves:
             return False
-        with open(os.path.join(root, waves[-1], "meta.json")) as f:
+        last_dir = os.path.join(root, waves[-1])
+        with open(os.path.join(last_dir, "meta.json")) as f:
             meta = json.load(f)
         self.wave = meta["wave"]
         self.trace_len = meta["trace_len"]
@@ -280,15 +319,29 @@ class CrawlJob:
             if self.cfg.keep_trace:
                 with open(os.path.join(wd, "trace.json")) as f:
                     self.trace.extend(tuple(t) for t in json.load(f))
+        # in-flight waves: re-build their records from the stored gated
+        # tables (no re-dequeue, no re-gate — the shard and gate cuts
+        # already include them); run() re-launches their Datasets
+        import pyarrow.parquet as pq
+
+        self._resume_recs = []
+        for entry in meta.get("inflight", []):
+            gated = pq.read_table(os.path.join(last_dir, entry["gated"])).to_pandas()
+            if len(gated):
+                gated["url_hash"] = gated["url_hash"].astype(np.uint64)
+            rec = self._make_record(entry["wave"], gated, entry["trace_base"])
+            if self.cfg.keep_trace:
+                self.trace.extend(rec["wave_trace"])
+            self._resume_recs.append(rec)
         return True
 
     # ------------------------------------------------------------------
     # wave stages
     # ------------------------------------------------------------------
-    def _dequeue(self, k: int) -> pd.DataFrame:
-        """Per-shard priority top-k: one warm RPC per FrontierShard. Only
-        k·S rows reach the driver."""
-        parts = ray.get([sh.dequeue.remote(k) for sh in self.seen.shards])
+    def _dequeue(self, k: int, wave: int) -> pd.DataFrame:
+        """Per-shard priority top-k among rows visible at ``wave``: one warm
+        RPC per FrontierShard. Only k·S rows reach the driver."""
+        parts = ray.get([sh.dequeue.remote(k, wave) for sh in self.seen.shards])
         dequeued = pa.concat_tables(parts).to_pandas()
         if len(dequeued):
             dequeued["url_hash"] = dequeued["url_hash"].astype(np.uint64)
@@ -350,91 +403,125 @@ class CrawlJob:
         self.phase_times[key] = self.phase_times.get(key, 0.0) + (t1 - t0)
         return t1
 
-    def run_wave(self) -> dict:
+    def _make_record(self, wave: int, gated: pd.DataFrame,
+                     trace_base: int) -> dict:
+        """Build a wave record from its gated candidate table (shared by
+        the launch path and checkpoint resume — the gated table fully
+        determines the wave's trace, counters and fetch set)."""
+        ctr = {"wave": wave, **{k: 0 for k in _CTR_KEYS}}
+        ctr["dequeued"] = len(gated)
+        allowed = gated[gated["decision"] == "allow"] if len(gated) else gated
+        deferred_n = int((gated["decision"] == "defer").sum()) if len(gated) else 0
+        ctr["allowed"] = len(allowed)
+        ctr["deferred"] = deferred_n
+        ctr["robots_denied"] = (
+            int((gated["decision"] == "robots").sum()) if len(gated) else 0
+        )
+        allowed = allowed.sort_values(
+            ["priority", "url_canon"], ascending=[False, True]
+        ).reset_index(drop=True)
+        wave_trace = [
+            (wave, trace_base + seq, url)
+            for seq, url in enumerate(allowed["url_canon"])
+        ]
+        return {
+            "wave": wave, "gated": gated, "allowed": allowed, "ctr": ctr,
+            "trace_base": trace_base, "wave_trace": wave_trace,
+            "empty": len(gated) == 0, "drained": False, "fut": None,
+        }
+
+    def _launch_wave(self, wave: int) -> dict:
+        """Dequeue + gate + defer-requeue + async Dataset launch for one
+        wave. Runs on the driver thread; the Dataset executes on the wave
+        pool, overlapped with older in-flight waves."""
         import time as _time
 
         cfg = self.cfg
-        self.wave += 1
-        wave = self.wave
-        ctr = {"wave": wave, **{k: 0 for k in _CTR_KEYS}}
-
         t = _time.perf_counter()
-        dequeued = self._dequeue(cfg.dequeue_k)
+        dequeued = self._dequeue(cfg.dequeue_k, wave)
         t = self._mark("w_dequeue", t)
-        ctr["dequeued"] = len(dequeued)
-        wave_trace: list[tuple[int, int, str]] = []
+        if dequeued.empty:
+            rec = self._make_record(wave, dequeued, self.trace_len)
+            # drained = nothing active OR pending visibility anywhere
+            rec["drained"] = sum(
+                ray.get([sh.frontier_size.remote() for sh in self.seen.shards])
+            ) == 0
+            return rec
+        gated = self._gate(dequeued, wave)
+        t = self._mark("w_gate", t)
+        rec = self._make_record(wave, gated, self.trace_len)
+        self.trace_len += len(rec["wave_trace"])
+        if cfg.keep_trace:
+            self.trace.extend(rec["wave_trace"])
 
-        if not dequeued.empty:
-            gated = self._gate(dequeued, wave)
-            t = self._mark("w_gate", t)
-            allowed = gated[gated["decision"] == "allow"]
-            deferred = gated[gated["decision"] == "defer"]
-            ctr["allowed"] = len(allowed)
-            ctr["deferred"] = len(deferred)
-            ctr["robots_denied"] = int((gated["decision"] == "robots").sum())
-
-            # deterministic fetch order trace (replay check)
-            allowed = allowed.sort_values(
-                ["priority", "url_canon"], ascending=[False, True]
-            ).reset_index(drop=True)
-            base_seq = self.trace_len
-            for seq, url in enumerate(allowed["url_canon"]):
-                wave_trace.append((wave, base_seq + seq, url))
-            self.trace_len += len(wave_trace)
-            if cfg.keep_trace:
-                self.trace.extend(wave_trace)
-
-            if not allowed.empty:
-                totals = self._fetch_parse_enqueue(allowed, wave)
-                for key in ("fetched", "http_404", "pairs_rows", "parsed_ok",
-                            "parse_err", "links", "links_new"):
-                    ctr[key] = int(totals[key])
-                # atomically promote the worker-written pairs fragments
-                aio.finalize_partition(
-                    os.path.join(cfg.out_dir, "pairs"),
-                    f"wave{wave:03d}",
-                    os.path.join(cfg.out_dir, "pairs", f".wave{wave:03d}.building"),
-                    rows=ctr["pairs_rows"],
-                    lineage={
-                        "wave": wave,
-                        "urls": len(allowed),
-                        "num_shards": cfg.num_shards,
-                    },
-                )
-
-            # deferred URLs go back to their shard's queue untouched
-            if len(deferred):
-                d = deferred.copy()
-                shard_ids = (
-                    d["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(cfg.num_shards)
-                ).astype("int64")
-                acks = []
-                for s in range(cfg.num_shards):
-                    sel = d[shard_ids == s]
-                    if len(sel):
-                        acks.append(
-                            self.seen.shards[s].defer.remote(
-                                sel[FRONTIER_COLS].reset_index(drop=True)
-                            )
+        # deferred URLs go back to their shard's queue, re-eligible at
+        # wave+1 (requeued BEFORE the next wave's dequeue fires — the
+        # visibility tag makes the timing irrelevant, the order canonical)
+        deferred = gated[gated["decision"] == "defer"]
+        if len(deferred):
+            d = deferred.copy()
+            shard_ids = (
+                d["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(cfg.num_shards)
+            ).astype("int64")
+            acks = []
+            for s in range(cfg.num_shards):
+                sel = d[shard_ids == s]
+                if len(sel):
+                    acks.append(
+                        self.seen.shards[s].defer.remote(
+                            sel[FRONTIER_COLS].reset_index(drop=True), wave
                         )
-                ray.get(acks)
+                    )
+            ray.get(acks)
+        if not rec["allowed"].empty:
+            rec["fut"] = self._ds_pool.submit(
+                self._run_dataset, rec["allowed"], wave
+            )
+        return rec
 
-        self.counters.append(ctr)
-        t = _time.perf_counter()
-        self.checkpoint(ctr, wave_trace)
-        self._mark("w_checkpoint", t)
+    def _finish_wave(self, rec: dict) -> dict:
+        """Await the wave's Dataset, reconcile the offer barrier, flush the
+        frontier shards, promote the pairs partition. Main thread; waves
+        finish in launch order."""
+        import time as _time
+
+        cfg = self.cfg
+        wave = rec["wave"]
+        ctr = rec["ctr"]
+        if rec["fut"] is not None:
+            t = _time.perf_counter()
+            counters = rec["fut"].result()
+            t = self._mark("w_dataset", t)
+            totals = self._flush_wave(counters, wave)
+            for key in ("fetched", "http_404", "pairs_rows", "parsed_ok",
+                        "parse_err", "links", "links_new"):
+                ctr[key] = int(totals[key])
+            # atomically promote the worker-written pairs fragments
+            aio.finalize_partition(
+                os.path.join(cfg.out_dir, "pairs"),
+                f"wave{wave:03d}",
+                os.path.join(cfg.out_dir, "pairs", f".wave{wave:03d}.building"),
+                rows=ctr["pairs_rows"],
+                lineage={
+                    "wave": wave,
+                    "urls": len(rec["allowed"]),
+                    "num_shards": cfg.num_shards,
+                },
+            )
         return ctr
 
-    def _fetch_parse_enqueue(self, allowed: pd.DataFrame, wave: int) -> dict:
-        """ONE streaming Dataset pass per wave: fetch → parse → pairs
+    def _run_dataset(self, allowed: pd.DataFrame, wave: int) -> pd.DataFrame:
+        """ONE streaming Dataset pass for a wave: fetch → parse → pairs
         fragment write → link extract (fused task-based stages with
         per-process cached state). Each task partitions its links by
         ``url_hash % S`` and offers them straight to the owning
         FrontierShard actor — the RPC is the explicit hash-partitioned
         exchange, moving only (canon, hash, host, depth) projections. The
-        shards min-merge concurrent offers (order-independent, replay-safe)
-        and enqueue the survivors at the wave-end flush. Tasks return one
-        counter row each; links never reach the driver."""
+        shards buffer offers per wave and min-merge concurrent duplicates
+        (order-independent, replay-safe); survivors enqueue at the wave-end
+        flush. Tasks return one counter row each; links never reach the
+        driver. Runs on a wave-pool thread (overlapped waves each get one
+        Dataset execution)."""
         cfg = self.cfg
         fetch_fn = cached_fetch_batch(cfg.corpus_size, cfg.seed)
         parse_fn = cached_parse_batch()
@@ -491,7 +578,7 @@ class CrawlJob:
                 for s, st, en in zip(uniq, starts, ends):
                     filter_shards[int(s)].offer.remote(
                         canons[st:en], h_sorted[st:en].tolist(),
-                        hosts[st:en], depths[st:en],
+                        hosts[st:en], depths[st:en], wave,
                     )
                     per_shard[int(s)] = en - st
             t5 = _time.perf_counter()
@@ -516,31 +603,36 @@ class CrawlJob:
         work = allowed[["url_canon", "depth"]].reset_index(drop=True)
         step = max(1, cfg.task_urls)
         chunks = [work.iloc[i: i + step] for i in range(0, len(work), step)]
-        import time as _time
-
-        t = _time.perf_counter()
         ds = rd.from_pandas(chunks)
-        counters = ds.map_batches(
+        return ds.map_batches(
             fetch_parse_links,
             batch_format="pyarrow",
             batch_size=None,  # one block = one task (granularity set above)
             num_cpus=1,
         ).to_pandas()  # one tiny counter row per task
-        t = self._mark("w_dataset", t)
 
-        # wave-end barrier: the offers were fired without acks, so reconcile
-        # on the per-shard offered-row counts the tasks reported; a shard
-        # that hasn't seen its full count yet returns None and is retried
-        # (actors process messages in order, so count-match ⇒ offers applied)
+    def _flush_wave(self, counters: pd.DataFrame, wave: int) -> dict:
+        """Wave-end barrier: the offers were fired without acks, so
+        reconcile on the per-shard offered-row counts the tasks reported; a
+        shard that hasn't seen its full count yet returns None and is
+        retried (actors process messages in order, so count-match ⇒ offers
+        applied)."""
         import time as _time
 
+        num_shards = self.cfg.num_shards
+        filter_shards = self.seen.shards
+        t = _time.perf_counter()
         expected = np.sum(np.stack(counters["offers"].to_numpy()), axis=0)
         flushed: list = [None] * num_shards
         pending_shards = list(range(num_shards))
         deadline = _time.monotonic() + 120.0
+        visible_at = wave + (self.cfg.visibility_lag or
+                             min(2, max(1, self.cfg.pipeline_depth)))
         while pending_shards:
             futs = [
-                filter_shards[s].enqueue_flush.remote(wave, int(expected[s]))
+                filter_shards[s].enqueue_flush.remote(
+                    wave, int(expected[s]), visible_at
+                )
                 for s in pending_shards
             ]
             still = []
@@ -570,19 +662,30 @@ class CrawlJob:
         return totals
 
     def run(self, resume: bool = False) -> dict:
+        from collections import deque
+
+        cfg = self.cfg
+        inflight: deque[dict] = deque()
         if resume and self.resume():
-            pass
+            for rec in self._resume_recs:
+                if not rec["allowed"].empty:
+                    rec["fut"] = self._ds_pool.submit(
+                        self._run_dataset, rec["allowed"], rec["wave"]
+                    )
+                inflight.append(rec)
+            self._resume_recs = []
+            next_wave = (inflight[-1]["wave"] if inflight else self.wave) + 1
         else:
-            seeds = _seed_frontier(self.cfg)
+            seeds = _seed_frontier(cfg)
             # seeds enter the seen-set immediately (enqueue-once semantics)
             is_new = self.seen.check_and_add(seeds["url_hash"].to_numpy(dtype=np.uint64))
             seeds = seeds[is_new].reset_index(drop=True)
             self.wave = 0
             shard_ids = (
-                seeds["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(self.cfg.num_shards)
+                seeds["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(cfg.num_shards)
             ).astype("int64")
             acks = []
-            for s in range(self.cfg.num_shards):
+            for s in range(cfg.num_shards):
                 sel = seeds[shard_ids == s]
                 if len(sel):
                     acks.append(
@@ -590,10 +693,40 @@ class CrawlJob:
                     )
             ray.get(acks)
             self.checkpoint(None, [])
-        while self.wave < self.cfg.max_waves:
-            ctr = self.run_wave()
-            if ctr["dequeued"] == 0:
+            next_wave = 1
+
+        # launching wave w needs every flush ≤ w-lag applied, which the
+        # slot count only guarantees for depth ≤ visibility_lag (and the
+        # two in-flight Dataset threads cap useful depth at 2)
+        depth = min(2, max(1, cfg.pipeline_depth))
+        depth = min(depth, cfg.visibility_lag or depth)
+        stop_launching = False
+        while True:
+            # refill: keep up to ``depth`` waves in flight; launching wave w
+            # requires every wave ≤ w-depth flushed, which the slot count
+            # enforces; empty waves hold a slot too (their no-op flush keeps
+            # the counter/checkpoint order canonical)
+            while (not stop_launching and len(inflight) < depth
+                   and next_wave <= cfg.max_waves):
+                rec = self._launch_wave(next_wave)
+                next_wave += 1
+                inflight.append(rec)
+                if rec["empty"] and rec["drained"] and not any(
+                    not r["empty"] for r in inflight
+                ):
+                    # frontier fully drained and nothing in flight can refill
+                    stop_launching = True
+            if not inflight:
                 break
+            rec = inflight.popleft()
+            ctr = self._finish_wave(rec)
+            self.wave = rec["wave"]
+            self.counters.append(ctr)
+            import time as _time
+
+            t = _time.perf_counter()
+            self.checkpoint(ctr, rec["wave_trace"], inflight=list(inflight))
+            self._mark("w_checkpoint", t)
         self.join_checkpoint()
         return self.summary()
 
@@ -612,6 +745,7 @@ class CrawlJob:
     def shutdown(self) -> None:
         self.join_checkpoint()
         self._ckpt_pool.shutdown(wait=True)
+        self._ds_pool.shutdown(wait=True)
         self.seen.shutdown()
         for g in self.gates:
             ray.kill(g)

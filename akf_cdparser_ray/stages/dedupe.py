@@ -152,6 +152,17 @@ class FrontierShard:
     query sees the fingerprint wherever it landed), and offer() never
     mutates the filter — inserts happen at flush in sorted-hash order.
 
+    VISIBILITY (overlapped-wave determinism): rows enter the queue in
+    *future buckets* tagged with the first wave allowed to dequeue them —
+    flush(k)'s links at ``k + 2``, wave-k defers at ``k + 1`` — and
+    ``dequeue(k, wave=k)`` migrates only buckets whose tag ≤ k before
+    taking its top-k. Dequeue results are therefore a pure function of the
+    sequence of shard *operations*, never of when a concurrently-running
+    wave's flush happens to land: the driver may overlap wave k's
+    fetch/parse with wave k+1's dequeue (software-pipelined waves) and the
+    trace is identical to a fully serial schedule. Offers are buffered per
+    wave so two in-flight waves can't mix their pending sets.
+
     CPU reservation is 0.05: offers are fire-and-forget (tasks never block
     on this actor mid-wave), so the old starve-the-shard convoy (which
     needed 0.2) can't happen; the flush drain runs after the wave's compute
@@ -160,8 +171,9 @@ class FrontierShard:
     def __init__(self, capacity: int = 1 << 16, spill_threshold: int | None = None,
                  spill_path: str | None = None):
         self.filter = CuckooFilter(capacity)
-        self.pending: dict[int, tuple] = {}
-        self.offered = 0
+        self.pending: dict[int, dict[int, tuple]] = {}  # wave -> hash -> meta
+        self.offered: dict[int, int] = {}               # wave -> rows offered
+        self.future: list[tuple[int, pd.DataFrame]] = []  # (visible_at, sorted run)
         self.runs: list[pd.DataFrame] = []
         self.max_runs = 8  # compact when exceeded (amortized O(log) merges)
         # disk spill (LSM-ish): keep only the sorted HEAD in memory; each
@@ -186,46 +198,54 @@ class FrontierShard:
 
     # -- wave enqueue path --------------------------------------------------
     def offer(self, canons: list[str], hashes: list[int], hosts: list[str],
-              depths: list[int]) -> int:
-        """Accept candidate links for this shard's hash range. The filter is
-        only PROBED here — never mutated — so two new same-wave hashes that
-        alias in the filter both stay pending regardless of task arrival
-        order; filter insertion happens once, in sorted-hash order, at
+              depths: list[int], wave: int = 0) -> int:
+        """Accept candidate links for this shard's hash range, buffered per
+        wave (two overlapped in-flight waves never mix). The filter is only
+        PROBED here — never mutated — so two new same-wave hashes that alias
+        in the filter both stay pending regardless of task arrival order;
+        filter insertion happens once, in sorted-hash order, at
         ``enqueue_flush`` (replay invariant: the filter's contents are a pure
         function of the wave's offered set, not of RPC arrival order)."""
-        self.offered += len(hashes)
+        self.offered[wave] = self.offered.get(wave, 0) + len(hashes)
+        pending = self.pending.setdefault(wave, {})
         hs = np.asarray(hashes, dtype=np.uint64)
         known = self.filter.contains_many(hs)
         for i, h in enumerate(hs):
             h = int(h)
-            prev = self.pending.get(h)
+            prev = pending.get(h)
             if prev is not None:
                 cand = (int(depths[i]), canons[i], hosts[i])
                 if cand < prev:
-                    self.pending[h] = cand
+                    pending[h] = cand
             elif not known[i]:
-                self.pending[h] = (int(depths[i]), canons[i], hosts[i])
+                pending[h] = (int(depths[i]), canons[i], hosts[i])
         return len(hashes)
 
-    def offered_count(self) -> int:
-        return self.offered
+    def offered_count(self, wave: int = 0) -> int:
+        return self.offered.get(wave, 0)
 
-    def enqueue_flush(self, wave: int,
-                      expected: int | None = None) -> tuple[int, int] | None:
+    def enqueue_flush(self, wave: int, expected: int | None = None,
+                      visible_at: int | None = None) -> tuple[int, int] | None:
         """Merge this wave's surviving links into the priority queue as one
-        sorted run; reset the wave buffers. Returns (offered, new).
+        sorted run (visible to dequeues from ``visible_at`` on — the
+        driver passes wave + visibility_lag; default wave+2, the
+        overlapped-pipeline latency); reset the wave's buffers. Returns
+        (offered, new).
 
         ``expected`` is the wave's offer-reconciliation barrier: tasks fire
         offers without acks and report per-shard row counts; if fewer rows
         than expected have arrived the flush returns ``None`` untouched and
         the driver retries (actors process messages in order, so once the
-        count matches every offer has been applied)."""
-        if expected is not None and self.offered < expected:
+        count matches every offer has been applied). The early contains-
+        probe in ``offer`` may under-drop when another wave's flush lands in
+        between — the authoritative check_and_add here settles it."""
+        if expected is not None and self.offered.get(wave, 0) < expected:
             return None
-        links = self.offered
+        links = self.offered.pop(wave, 0)
+        pending = self.pending.pop(wave, {})
         new_items: list[tuple[int, tuple]] = []
-        if self.pending:
-            items = sorted(self.pending.items())  # by hash: deterministic
+        if pending:
+            items = sorted(pending.items())  # by hash: deterministic
             is_new = self.filter.check_and_add_many(
                 np.array([h for h, _ in items], dtype=np.uint64)
             )
@@ -242,10 +262,10 @@ class FrontierShard:
                     "discovered_at": np.int64(wave),
                 }
             )
-            self._add_run(_sort_run(run))
+            self.future.append(
+                (wave + 2 if visible_at is None else visible_at, _sort_run(run))
+            )
         links_new = len(new_items)
-        self.pending = {}
-        self.offered = 0
         return links, links_new
 
     # -- priority queue -----------------------------------------------------
@@ -320,10 +340,25 @@ class FrontierShard:
             self._add_run(_sort_run(rows[FRONTIER_COLS]))
         return sum(len(r) for r in self.runs)
 
-    def dequeue(self, k: int) -> pa.Table:
+    def _migrate_future(self, wave: int | None) -> None:
+        """Move future buckets whose visibility tag ≤ wave into the active
+        queue. ``wave=None`` (non-crawl callers) migrates everything."""
+        if not self.future:
+            return
+        keep: list[tuple[int, pd.DataFrame]] = []
+        for visible_at, run in self.future:
+            if wave is None or visible_at <= wave:
+                self._add_run(run)
+            else:
+                keep.append((visible_at, run))
+        self.future = keep
+
+    def dequeue(self, k: int, wave: int | None = None) -> pa.Table:
         """Remove and return the shard's top-k rows (priority desc, url
-        asc): merge the sorted run heads — never a full re-sort. Reloads the
-        spilled tail only when it could contain a top-k row."""
+        asc) among rows visible at ``wave``: merge the sorted run heads —
+        never a full re-sort. Reloads the spilled tail only when it could
+        contain a top-k row."""
+        self._migrate_future(wave)
         if k <= 0:
             return empty_frontier_table()
         if self._spill_may_beat(k):
@@ -347,14 +382,20 @@ class FrontierShard:
             out[FRONTIER_COLS], preserve_index=False
         ).cast(empty_frontier_table().schema)
 
-    def defer(self, rows: pd.DataFrame) -> int:
-        """Deferred (politeness) rows go back as their own run."""
+    def defer(self, rows: pd.DataFrame, wave: int | None = None) -> int:
+        """Deferred (politeness) rows go back as their own run, re-eligible
+        from wave+1 (immediately for non-crawl callers)."""
         if len(rows):
-            self._add_run(_sort_run(rows[FRONTIER_COLS]))
+            run = _sort_run(rows[FRONTIER_COLS])
+            if wave is None:
+                self._add_run(run)
+            else:
+                self.future.append((wave + 1, run))
         return len(rows)
 
     def frontier_size(self) -> int:
-        return self._mem_rows() + self._spilled_rows()
+        return (self._mem_rows() + self._spilled_rows()
+                + sum(len(r) for _, r in self.future))
 
     # -- checkpoint ---------------------------------------------------------
     def checkpoint(self, frontier_path: str, filter_path: str) -> int:
@@ -396,6 +437,21 @@ class FrontierShard:
                 self.spill_runs = []
                 if os.path.exists(tail_path):
                     os.remove(tail_path)
+        # future (not-yet-visible) buckets: tiny (≤ pipeline-depth runs),
+        # persisted beside the active frontier with their visibility tags
+        fut_path = frontier_path + ".future"
+        if self.future:
+            frames = []
+            for visible_at, run in sorted(self.future, key=lambda t: t[0]):
+                f_ = run.copy()
+                f_["visible_at"] = np.int64(visible_at)
+                frames.append(f_)
+            fut = pd.concat(frames, ignore_index=True)
+            tbl = pa.Table.from_pandas(fut, preserve_index=False)
+            pq.write_table(tbl, fut_path)
+            total += len(fut)
+        elif os.path.exists(fut_path):
+            os.remove(fut_path)
         with open(filter_path, "wb") as f:
             f.write(self.filter.serialize())
         return total
@@ -418,8 +474,17 @@ class FrontierShard:
             self._maybe_spill()
         else:
             self.runs = []
+        self.future = []
+        fut_path = frontier_path + ".future"
+        if os.path.exists(fut_path):
+            fut = pq.read_table(fut_path).to_pandas()
+            fut["url_hash"] = fut["url_hash"].astype(np.uint64)
+            for visible_at, grp in fut.groupby("visible_at", sort=True):
+                self.future.append(
+                    (int(visible_at), grp[FRONTIER_COLS].reset_index(drop=True))
+                )
         self.pending = {}
-        self.offered = 0
+        self.offered = {}
         return self.filter.count
 
     def size(self) -> int:
@@ -431,7 +496,7 @@ class FrontierShard:
     def restore_page(self, page: bytes) -> int:
         self.filter = deserialize_filter(page)
         self.pending = {}
-        self.offered = 0
+        self.offered = {}
         return self.filter.count
 
 

@@ -297,3 +297,93 @@ def test_crawl_kill_and_resume_with_spill(tmp_path):
     pref = aio.read_partitions(str(tmp_path / "sref" / "pairs"))
     pres = aio.read_partitions(str(tmp_path / "skr" / "pairs"))
     assert pref.equals(pres)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_depth_equivalent(tmp_path):
+    """Overlapping is a pure performance knob: a serial (depth=1) run and a
+    depth-2 overlapped run produce byte-identical trace/counters/pairs,
+    because link visibility is state-encoded in the shards (flush(k) →
+    wave k+2, defers(k) → wave k+1), never a function of schedule timing."""
+    from akf_cdparser_ray.pipelines.crawl import CrawlJob
+
+    serial = CrawlJob(_mk_cfg(tmp_path, "d1", max_waves=4, pipeline_depth=1,
+                              visibility_lag=2))
+    s1 = serial.run()
+    serial.shutdown()
+    overlapped = CrawlJob(_mk_cfg(tmp_path, "d2", max_waves=4, pipeline_depth=2))
+    s2 = overlapped.run()
+    overlapped.shutdown()
+    assert s1["trace"] == s2["trace"]
+    assert s1["counters"] == s2["counters"]
+    assert s1["seen_total"] == s2["seen_total"]
+    p1 = aio.read_partitions(str(tmp_path / "d1" / "pairs"))
+    p2 = aio.read_partitions(str(tmp_path / "d2" / "pairs"))
+    assert p1.equals(p2)
+
+    # classic lag-1 serial BFS is its own deterministic semantics: links
+    # flushed by wave k are dequeuable at k+1 (more per wave than lag 2)
+    lag1a = CrawlJob(_mk_cfg(tmp_path, "l1a", max_waves=4, pipeline_depth=1,
+                             visibility_lag=1))
+    sa = lag1a.run()
+    lag1a.shutdown()
+    lag1b = CrawlJob(_mk_cfg(tmp_path, "l1b", max_waves=4, pipeline_depth=1,
+                             visibility_lag=1))
+    sb = lag1b.run()
+    lag1b.shutdown()
+    assert sa["trace"] == sb["trace"] and sa["counters"] == sb["counters"]
+    assert sum(c["fetched"] for c in sa["counters"]) >= sum(
+        c["fetched"] for c in s1["counters"]
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_with_inflight_wave(tmp_path):
+    """Resume from a checkpoint whose meta carries an in-flight wave (the
+    overlapped pipeline's normal cut: shard state is post-dequeue(k+1) /
+    post-flush(k)): the stored gated table re-launches wave k+1 without
+    re-gating and the finished crawl is byte-identical."""
+    import os
+    import shutil
+
+    from akf_cdparser_ray.pipelines.crawl import CrawlJob
+
+    ref = CrawlJob(_mk_cfg(tmp_path, "iref", max_waves=4))
+    sref = ref.run()
+    ref.shutdown()
+
+    victim = CrawlJob(_mk_cfg(tmp_path, "ikr", max_waves=4))
+    victim.run()
+    victim.shutdown()
+    # simulate a kill after ckpt(1) durable but nothing later: drop every
+    # checkpoint past wave001 (wave001's meta holds in-flight wave 2) and
+    # the pairs partitions those waves produced
+    root = tmp_path / "ikr" / "checkpoint"
+    kept = sorted(os.listdir(root))[:2]          # wave000, wave001
+    for w in sorted(os.listdir(root)):
+        if w not in kept:
+            shutil.rmtree(root / w)
+    with open(root / "wave001" / "meta.json") as f:
+        import json
+
+        assert json.load(f)["inflight"], "cut must carry an in-flight wave"
+    pairs_root = tmp_path / "ikr" / "pairs"
+    for part in os.listdir(pairs_root):
+        p = pairs_root / part
+        if p.is_dir() and part != "wave001":
+            shutil.rmtree(p)
+    manifest = aio.load_manifest(str(pairs_root))
+    manifest["partitions"] = {
+        k: v for k, v in manifest["partitions"].items() if k == "wave001"
+    }
+    aio._store_manifest(str(pairs_root), manifest)
+
+    resumed = CrawlJob(_mk_cfg(tmp_path, "ikr", max_waves=4))
+    sres = resumed.run(resume=True)
+    resumed.shutdown()
+    assert sres["trace"] == sref["trace"]
+    assert sres["counters"] == sref["counters"]
+    assert sres["seen_total"] == sref["seen_total"]
+    pref = aio.read_partitions(str(tmp_path / "iref" / "pairs"))
+    pres = aio.read_partitions(str(tmp_path / "ikr" / "pairs"))
+    assert pref.equals(pres)
