@@ -368,6 +368,43 @@ def q_parse_profiles(_sf_dir: str):
     return pd.DataFrame(out).sort_values("image_id").reset_index(drop=True)
 
 
+def q_validate_profiles(_sf_dir: str):
+    """Schema validation (SURVEY.md §3.2, ref lib/validator.js) as a
+    distributed stage: synthesize → parse (with coverage-by-subtraction
+    residue) → ValidateProfiles over the caption JSON. Per-doc valid flag,
+    error count and coverage ratio (rows-only check; the validator's
+    ajv-v4 semantics are parity-tested in tests/test_profile_parser.py)."""
+    import pandas as pd
+
+    from akf_cdparser_ray.pipelines.flagship import pages_dataset, parse_pages
+    from akf_cdparser_ray.stages.parse_stage import ValidateProfiles
+
+    parsed = parse_pages(
+        pages_dataset(40), batch_size=8, concurrency=2, with_residue=True
+    )
+    rows = (
+        parsed.map_batches(ValidateProfiles(), batch_format="pyarrow")
+        .select_columns(
+            ["image_id", "status", "valid", "validation_errors", "coverage"]
+        )  # bytes never reach the driver
+        .take_all()
+    )
+    out = pd.DataFrame(
+        {
+            "image_id": [r["image_id"] for r in rows],
+            "status": [r["status"] for r in rows],
+            "valid": [bool(r["valid"]) for r in rows],
+            "n_errors": [
+                len([e for e in r["validation_errors"].split("; ") if e])
+                if r["validation_errors"] else 0
+                for r in rows
+            ],
+            "coverage": [round(float(r["coverage"]), 6) for r in rows],
+        }
+    )
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def q_crawl_smoke(_sf_dir: str):
     """One-wave crawl on a tiny synthetic frontier: dequeue → politeness →
     fetch → parse → dedupe → counters (rows-only check)."""
@@ -560,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q_anti_join,
         "host_counts": q_host_counts,
         "parse_profiles": q_parse_profiles,
+        "validate_profiles": q_validate_profiles,
         "crawl_smoke": q_crawl_smoke,
         "phash_neardup": q_phash_neardup,
         "lse_report": q_lse_report,

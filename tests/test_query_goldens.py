@@ -1,0 +1,51 @@
+"""Golden pins for every rows-only (``no_oracle``) queries() entry
+(VERDICT r2 #5): their outputs are deterministic (seeded synthetic data,
+seeded hashes/hyperplanes), so any refactor that silently changes results
+fails here. Hash = canonical CSV (column-name-sorted, row-sorted, floats at
+9 significant digits) — tools/query_golden.py. Re-pin ONLY with an
+explanation of why the output legitimately changed.
+
+The DuckDB-oracled entries are covered by tools/check_correctness.py (the
+driver gate) and are not duplicated here.
+"""
+
+import pytest
+
+from tools.query_golden import canonical_hash
+
+GOLDENS = {
+    "minhash_neardup": "537cb47cddcf5f1b1dfc5ebb885a8431b0c2218ac2ab090dec57d35a1e7f63b3",
+    "simhash": "aa40888151b1f31096206c22186f2f7d13d171b2d3364ea1c7859f0f2c4505d7",
+    "embedding_neardup": "2bdb126f37312f27648e22e32513d516642b9922166607f93a6fbca99322e7b8",
+    "phash_neardup": "4d1ae2007f86bea01820537baf8d5ef83901dc9f1768f150848a1459c9367569",
+    "rolling_fps": "bb3e919c434984c6341b485e2a5135622ba2ef4940f99ac76d70d92da6f9950e",
+    "lse_report": "227716fd5238744173a2a6680645e83d3a80a90121391f7c727db6e00299b4cc",
+    "audio_features": "2dc77b8d9028d8cf92b1fc82abe283cb515da17ee92705c9cc636dcc8a7f7b53",
+    "frame_sample": "e6c580fe06476947820e6328721667fe87e3bc1b9f4d4fd92243614c8dc76704",
+    "parse_profiles": "8250fbc61718e22044f0b28024b0612887aa10f7193a0b8939f092eaf11e6af2",
+    "langid": "906beefe8e4e7e96ad3dc96e1abf61881dd6d0562f1bfb53d9ef6855f73ac07e",
+    "crawl_smoke": "f3dbfbcc1feb8f904d0eb4a19e84b60d88e9dc5ddf13ab0308e6ffb018dd3c97",
+    "validate_profiles": "d7766900c8b398a6030da9def6d6896d1ee87eef67a36a5a4348d7241c446f28",
+}
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", sorted(GOLDENS))
+def test_query_golden(name):
+    import __ray_entry__ as entry
+
+    out = entry.queries()[name](SF_DIR)
+    assert canonical_hash(out) == GOLDENS[name], (
+        f"{name} output drifted from its golden pin — if the change is "
+        "intentional, re-pin with a rationale"
+    )
+
+
+def test_goldens_cover_every_rows_only_query():
+    """The pin set must stay in lockstep with queries() minus oracle_sql()."""
+    import __ray_entry__ as entry
+
+    rows_only = set(entry.queries()) - set(entry.oracle_sql())
+    assert rows_only == set(GOLDENS)
