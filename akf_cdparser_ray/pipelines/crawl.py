@@ -59,7 +59,7 @@ from ..stages.cached import cached_fetch_batch, cached_parse_batch
 from ..stages.dedupe import ShardedSeenSet
 from ..stages.frontier import FRONTIER_COLS
 from ..stages.links import canonicalize_url, extract_links_batch, host_of, url_hash64
-from ..stages.politeness_stage import PolitenessShard, host_shard
+from ..stages.politeness_stage import PolitenessShard
 
 
 @dataclass
@@ -227,7 +227,7 @@ class CrawlJob:
         gate_futs = [g.serialize.remote() for g in self.gates]
         inflight_meta = [
             {"wave": rec["wave"], "trace_base": rec["trace_base"],
-             "gated": rec["gated"]}
+             "staging": self._staging_rel(rec["wave"])}
             for rec in (inflight or []) if not rec["empty"]
         ]
         self._ckpt_pending = self._ckpt_pool.submit(
@@ -244,23 +244,16 @@ class CrawlJob:
         gate_states = ray.get(gate_futs)
         with open(os.path.join(d, "trace.json"), "w") as f:
             json.dump(wave_trace, f)
-        inflight_entries = []
-        for rec in inflight_meta:
-            name = f"inflight_wave{rec['wave']:03d}.parquet"
-            tbl = pa.Table.from_pandas(rec["gated"], preserve_index=False)
-            import pyarrow.parquet as pq
-
-            pq.write_table(tbl, os.path.join(d, name))
-            inflight_entries.append(
-                {"wave": rec["wave"], "trace_base": rec["trace_base"], "gated": name}
-            )
+        # in-flight waves need no extra writes: their gated slices were
+        # already persisted worker-side by the gates at decide() time
+        # (out_dir/gated/waveNNN/gateG.parquet) — the meta just points there
         meta = {
             "wave": wave,
             "counter": wave_counter,
             "trace_len": trace_len,
             "frontier_rows": shard_rows,
             "gates": gate_states,
-            "inflight": inflight_entries,
+            "inflight": inflight_meta,
             "lineage": {
                 "num_shards": self.cfg.num_shards,
                 "seeds": self.cfg.seeds,
@@ -319,17 +312,33 @@ class CrawlJob:
             if self.cfg.keep_trace:
                 with open(os.path.join(wd, "trace.json")) as f:
                     self.trace.extend(tuple(t) for t in json.load(f))
-        # in-flight waves: re-build their records from the stored gated
-        # tables (no re-dequeue, no re-gate — the shard and gate cuts
-        # already include them); run() re-launches their Datasets
+        # in-flight waves: re-build their records from the gate-staged
+        # gated slices (no re-dequeue, no re-gate — the shard and gate
+        # cuts already include them; gated_slice_to_refs reproduces the
+        # exact dataset blocks the gates handed out); run() re-launches
+        # their Datasets
         import pyarrow.parquet as pq
+
+        from ..stages.politeness_stage import gated_slice_to_refs
 
         self._resume_recs = []
         for entry in meta.get("inflight", []):
-            gated = pq.read_table(os.path.join(last_dir, entry["gated"])).to_pandas()
-            if len(gated):
-                gated["url_hash"] = gated["url_hash"].astype(np.uint64)
-            rec = self._make_record(entry["wave"], gated, entry["trace_base"])
+            staging = os.path.join(self.cfg.out_dir, entry["staging"])
+            results = []
+            n_cand = 0
+            for g in range(self.cfg.num_politeness_shards):
+                sl = pq.read_table(
+                    os.path.join(staging, f"gate{g}.parquet")
+                ).to_pandas()
+                if len(sl):
+                    sl["url_hash"] = sl["url_hash"].astype(np.uint64)
+                n_cand += len(sl)
+                results.append(gated_slice_to_refs(
+                    sl, self.cfg.task_urls, self.cfg.num_shards
+                ))
+            rec = self._rec_from_gate_results(
+                entry["wave"], n_cand, entry["trace_base"], results
+            )
             if self.cfg.keep_trace:
                 self.trace.extend(rec["wave_trace"])
             self._resume_recs.append(rec)
@@ -338,63 +347,6 @@ class CrawlJob:
     # ------------------------------------------------------------------
     # wave stages
     # ------------------------------------------------------------------
-    def _dequeue(self, k: int, wave: int) -> pd.DataFrame:
-        """Per-shard priority top-k among rows visible at ``wave``: one warm
-        RPC per FrontierShard. Only k·S rows reach the driver."""
-        parts = ray.get([sh.dequeue.remote(k, wave) for sh in self.seen.shards])
-        dequeued = pa.concat_tables(parts).to_pandas()
-        if len(dequeued):
-            dequeued["url_hash"] = dequeued["url_hash"].astype(np.uint64)
-        return dequeued.reset_index(drop=True)
-
-    def _gate(self, cand: pd.DataFrame, wave: int) -> pd.DataFrame:
-        """Politeness + robots via the host-hash-pinned shard actors.
-        Driver side is vectorized: shard ids are computed once per unique
-        (host, salt) pair (hosts repeat heavily in a wave), rows travel to
-        the gate actors as columnar lists, and only decisions come back."""
-        if cand.empty:
-            cand = cand.copy()
-            cand["decision"] = pd.Series(dtype=str)
-            return cand
-        share = cand["host"].value_counts(normalize=True)
-        hot = set(share[share > self.cfg.hot_host_threshold].index)
-        salts = {h: self.cfg.n_salts for h in hot}
-        cand = cand.copy()
-        if hot:
-            hot_mask = cand["host"].isin(hot).to_numpy()
-            salt_vec = np.where(
-                hot_mask,
-                (cand["url_hash"].to_numpy(dtype=np.uint64)
-                 % np.uint64(self.cfg.n_salts)).astype(np.int64),
-                0,
-            )
-        else:
-            salt_vec = np.zeros(len(cand), dtype=np.int64)
-        cand["salt"] = salt_vec
-        uniq = cand[["host", "salt"]].drop_duplicates()
-        uniq["gate_shard"] = [
-            host_shard(h, int(s), self.cfg.num_politeness_shards)
-            for h, s in zip(uniq["host"], uniq["salt"])
-        ]
-        cand = cand.merge(uniq, on=["host", "salt"], how="left")
-        # deterministic order inside each shard: priority desc, url asc
-        cand = cand.sort_values(
-            ["gate_shard", "priority", "url_canon"], ascending=[True, False, True]
-        ).reset_index(drop=True)
-        decisions = np.empty(len(cand), dtype=object)
-        futures = []
-        for shard_id, group in cand.groupby("gate_shard", sort=True):
-            futures.append(
-                (group.index, self.gates[shard_id].gate.remote(
-                    group["host"].tolist(), group["url_canon"].tolist(),
-                    wave, salts,
-                ))
-            )
-        for idxs, fut in futures:
-            decisions[idxs] = ray.get(fut)
-        cand["decision"] = decisions
-        return cand.drop(columns=["gate_shard", "salt"])
-
     # ------------------------------------------------------------------
     def _mark(self, key: str, t0: float) -> float:
         import time as _time
@@ -403,79 +355,125 @@ class CrawlJob:
         self.phase_times[key] = self.phase_times.get(key, 0.0) + (t1 - t0)
         return t1
 
-    def _make_record(self, wave: int, gated: pd.DataFrame,
-                     trace_base: int) -> dict:
-        """Build a wave record from its gated candidate table (shared by
-        the launch path and checkpoint resume — the gated table fully
-        determines the wave's trace, counters and fetch set)."""
+    def _staging_rel(self, wave: int) -> str:
+        return os.path.join("gated", f"wave{wave:03d}")
+
+    def _rec_from_gate_results(self, wave: int, n_cand: int, trace_base: int,
+                               results: list[dict]) -> dict:
+        """Build the wave record from the P gates' decide() outputs —
+        counts, allowed-block refs (gate order) and the globally-merged
+        trace. Shared shape with checkpoint resume (which recreates the
+        same outputs from the staged slices)."""
+        import heapq
+
         ctr = {"wave": wave, **{k: 0 for k in _CTR_KEYS}}
-        ctr["dequeued"] = len(gated)
-        allowed = gated[gated["decision"] == "allow"] if len(gated) else gated
-        deferred_n = int((gated["decision"] == "defer").sum()) if len(gated) else 0
-        ctr["allowed"] = len(allowed)
-        ctr["deferred"] = deferred_n
-        ctr["robots_denied"] = (
-            int((gated["decision"] == "robots").sum()) if len(gated) else 0
+        ctr["dequeued"] = n_cand
+        ctr["allowed"] = sum(r["counts"]["allow"] for r in results)
+        ctr["deferred"] = sum(r["counts"]["defer"] for r in results)
+        ctr["robots_denied"] = sum(r["counts"]["robots"] for r in results)
+        # global fetch-order trace: merge the per-gate (priority desc, url
+        # asc) sorted runs — byte-identical to a single global sort
+        merged = heapq.merge(
+            *[r["trace"] for r in results], key=lambda t: (-t[0], t[1])
         )
-        allowed = allowed.sort_values(
-            ["priority", "url_canon"], ascending=[False, True]
-        ).reset_index(drop=True)
         wave_trace = [
             (wave, trace_base + seq, url)
-            for seq, url in enumerate(allowed["url_canon"])
+            for seq, (_prio, url) in enumerate(merged)
         ]
         return {
-            "wave": wave, "gated": gated, "allowed": allowed, "ctr": ctr,
-            "trace_base": trace_base, "wave_trace": wave_trace,
-            "empty": len(gated) == 0, "drained": False, "fut": None,
+            "wave": wave, "ctr": ctr, "trace_base": trace_base,
+            "wave_trace": wave_trace,
+            "ds_refs": [ref for r in results for ref in r["allowed_refs"]],
+            "empty": n_cand == 0, "drained": False, "fut": None,
         }
 
     def _launch_wave(self, wave: int) -> dict:
         """Dequeue + gate + defer-requeue + async Dataset launch for one
-        wave. Runs on the driver thread; the Dataset executes on the wave
-        pool, overlapped with older in-flight waves."""
+        wave — the shard→gate handoff path: FrontierShards hold their
+        dequeued top-k and push it straight to the politeness actors; the
+        driver only ever handles host counts, decision counts, object refs
+        and the (priority, url) trace pairs. Runs on the driver thread;
+        the Dataset executes on the wave pool, overlapped with older
+        in-flight waves."""
         import time as _time
 
         cfg = self.cfg
         t = _time.perf_counter()
-        dequeued = self._dequeue(cfg.dequeue_k, wave)
+        holds = ray.get([
+            sh.dequeue_hold.remote(cfg.dequeue_k, wave) for sh in self.seen.shards
+        ])
+        n_cand = sum(h["n"] for h in holds)
         t = self._mark("w_dequeue", t)
-        if dequeued.empty:
-            rec = self._make_record(wave, dequeued, self.trace_len)
+        if n_cand == 0:
+            rec = self._rec_from_gate_results(wave, 0, self.trace_len, [])
             # drained = nothing active OR pending visibility anywhere
             rec["drained"] = sum(
                 ray.get([sh.frontier_size.remote() for sh in self.seen.shards])
             ) == 0
             return rec
-        gated = self._gate(dequeued, wave)
+
+        # hot-host salting decided from the merged per-shard host counts
+        host_totals: dict[str, int] = {}
+        for h in holds:
+            for host, c in h["hosts"].items():
+                host_totals[host] = host_totals.get(host, 0) + c
+        salts = {
+            host: cfg.n_salts
+            for host, c in host_totals.items()
+            if c / n_cand > cfg.hot_host_threshold
+        }
+        P = cfg.num_politeness_shards
+        per_gate = ray.get([
+            sh.route_to_gates.remote(wave, salts, self.gates, P)
+            for sh in self.seen.shards
+        ])
+        expected = np.sum(np.asarray(per_gate, dtype=np.int64), axis=0)
+        staging = os.path.join(cfg.out_dir, self._staging_rel(wave))
+        os.makedirs(staging, exist_ok=True)
+        results: list = [None] * P
+        pending = list(range(P))
+        deadline = _time.monotonic() + 120.0
+        while pending:
+            futs = [
+                self.gates[g].decide.remote(
+                    wave, int(expected[g]), salts,
+                    os.path.join(staging, f"gate{g}.parquet"),
+                    cfg.task_urls, cfg.num_shards,
+                )
+                for g in pending
+            ]
+            still = []
+            for g, r in zip(pending, ray.get(futs)):
+                if r is None:
+                    still.append(g)
+                else:
+                    results[g] = r
+            pending = still
+            if pending:
+                if _time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"gate barrier timed out; gates {pending} never "
+                        "received their routed rows"
+                    )
+                _time.sleep(0.002)
         t = self._mark("w_gate", t)
-        rec = self._make_record(wave, gated, self.trace_len)
+
+        rec = self._rec_from_gate_results(wave, n_cand, self.trace_len, results)
         self.trace_len += len(rec["wave_trace"])
         if cfg.keep_trace:
             self.trace.extend(rec["wave_trace"])
 
-        # deferred URLs go back to their shard's queue, re-eligible at
-        # wave+1 (requeued BEFORE the next wave's dequeue fires — the
-        # visibility tag makes the timing irrelevant, the order canonical)
-        deferred = gated[gated["decision"] == "defer"]
-        if len(deferred):
-            d = deferred.copy()
-            shard_ids = (
-                d["url_hash"].to_numpy(dtype=np.uint64) % np.uint64(cfg.num_shards)
-            ).astype("int64")
-            acks = []
-            for s in range(cfg.num_shards):
-                sel = d[shard_ids == s]
-                if len(sel):
-                    acks.append(
-                        self.seen.shards[s].defer.remote(
-                            sel[FRONTIER_COLS].reset_index(drop=True), wave
-                        )
-                    )
-            ray.get(acks)
-        if not rec["allowed"].empty:
+        # deferred URLs go back to their shard's queue by ref (gate →
+        # object store → shard; re-eligible at wave+1, requeued BEFORE the
+        # next wave's dequeue fires so the order is canonical)
+        acks = []
+        for r in results:
+            for s, ref in r["deferred_refs"].items():
+                acks.append(self.seen.shards[int(s)].defer.remote(ref, wave))
+        ray.get(acks)
+        if rec["ds_refs"]:
             rec["fut"] = self._ds_pool.submit(
-                self._run_dataset, rec["allowed"], wave
+                self._run_dataset, rec["ds_refs"], wave
             )
         return rec
 
@@ -504,24 +502,26 @@ class CrawlJob:
                 rows=ctr["pairs_rows"],
                 lineage={
                     "wave": wave,
-                    "urls": len(rec["allowed"]),
+                    "urls": ctr["allowed"],
                     "num_shards": cfg.num_shards,
                 },
             )
         return ctr
 
-    def _run_dataset(self, allowed: pd.DataFrame, wave: int) -> pd.DataFrame:
-        """ONE streaming Dataset pass for a wave: fetch → parse → pairs
-        fragment write → link extract (fused task-based stages with
-        per-process cached state). Each task partitions its links by
-        ``url_hash % S`` and offers them straight to the owning
-        FrontierShard actor — the RPC is the explicit hash-partitioned
-        exchange, moving only (canon, hash, host, depth) projections. The
-        shards buffer offers per wave and min-merge concurrent duplicates
-        (order-independent, replay-safe); survivors enqueue at the wave-end
-        flush. Tasks return one counter row each; links never reach the
-        driver. Runs on a wave-pool thread (overlapped waves each get one
-        Dataset execution)."""
+    def _run_dataset(self, ds_refs: list, wave: int) -> pd.DataFrame:
+        """ONE streaming Dataset pass for a wave over the gate-produced
+        allowed-block refs (task_urls rows each; one block = one task —
+        the rows go object store → fetch task without ever touching the
+        driver): fetch → parse → pairs fragment write → link extract
+        (fused task-based stages with per-process cached state). Each task
+        partitions its links by ``url_hash % S`` and offers them straight
+        to the owning FrontierShard actor — the RPC is the explicit
+        hash-partitioned exchange, moving only (canon, hash, host, depth)
+        projections. The shards buffer offers per wave and min-merge
+        concurrent duplicates (order-independent, replay-safe); survivors
+        enqueue at the wave-end flush. Tasks return one counter row each;
+        links never reach the driver. Runs on a wave-pool thread
+        (overlapped waves each get one Dataset execution)."""
         cfg = self.cfg
         fetch_fn = cached_fetch_batch(cfg.corpus_size, cfg.seed)
         parse_fn = cached_parse_batch()
@@ -598,12 +598,7 @@ class CrawlJob:
                 }
             )
 
-        # from_pandas(df) yields ONE block = one task; split the wave into
-        # batch-sized chunks so it fans out across the cluster
-        work = allowed[["url_canon", "depth"]].reset_index(drop=True)
-        step = max(1, cfg.task_urls)
-        chunks = [work.iloc[i: i + step] for i in range(0, len(work), step)]
-        ds = rd.from_pandas(chunks)
+        ds = rd.from_arrow_refs(ds_refs)
         return ds.map_batches(
             fetch_parse_links,
             batch_format="pyarrow",
@@ -668,9 +663,9 @@ class CrawlJob:
         inflight: deque[dict] = deque()
         if resume and self.resume():
             for rec in self._resume_recs:
-                if not rec["allowed"].empty:
+                if rec["ds_refs"]:
                     rec["fut"] = self._ds_pool.submit(
-                        self._run_dataset, rec["allowed"], rec["wave"]
+                        self._run_dataset, rec["ds_refs"], rec["wave"]
                     )
                 inflight.append(rec)
             self._resume_recs = []

@@ -173,6 +173,7 @@ class FrontierShard:
         self.filter = CuckooFilter(capacity)
         self.pending: dict[int, dict[int, tuple]] = {}  # wave -> hash -> meta
         self.offered: dict[int, int] = {}               # wave -> rows offered
+        self._held: pd.DataFrame | None = None          # dequeue_hold buffer
         self.future: list[tuple[int, pd.DataFrame]] = []  # (visible_at, sorted run)
         self.runs: list[pd.DataFrame] = []
         self.max_runs = 8  # compact when exceeded (amortized O(log) merges)
@@ -381,6 +382,53 @@ class FrontierShard:
         return pa.Table.from_pandas(
             out[FRONTIER_COLS], preserve_index=False
         ).cast(empty_frontier_table().schema)
+
+    def dequeue_hold(self, k: int, wave: int) -> dict:
+        """Dequeue the shard's top-k visible rows but HOLD them locally
+        (the shard→gate handoff path): only the row count and per-host
+        counts return to the driver, which needs them for the hot-host
+        salt decision. ``route_to_gates`` ships the held rows straight to
+        the politeness actors."""
+        assert getattr(self, "_held", None) is None, "previous hold not routed"
+        tbl = self.dequeue(k, wave)
+        df = tbl.to_pandas()
+        if len(df):
+            df["url_hash"] = df["url_hash"].astype(np.uint64)
+            self._held = df  # an empty hold needs no route() to clear it
+        counts = df["host"].value_counts().to_dict() if len(df) else {}
+        return {"n": len(df), "hosts": counts}
+
+    def route_to_gates(self, wave: int, salts: dict, gates: list,
+                       num_gate_shards: int) -> list[int]:
+        """Partition the held rows by politeness shard (hot hosts salted by
+        url_hash) and push each slice actor→actor to its gate's collect
+        buffer. Returns per-gate row counts (the driver's decide barrier).
+        Rows never touch the driver."""
+        from .politeness_stage import host_shard
+
+        df = self._held
+        self._held = None
+        per_gate = [0] * num_gate_shards
+        if df is None or not len(df):
+            return per_gate
+        hashes = df["url_hash"].to_numpy(dtype=np.uint64)
+        hosts = df["host"].tolist()
+        gshard = np.empty(len(df), dtype=np.int64)
+        cache: dict[tuple, int] = {}
+        for i, h in enumerate(hosts):
+            n_salts = salts.get(h, 1)
+            salt = int(hashes[i] % np.uint64(n_salts)) if n_salts > 1 else 0
+            key = (h, salt)
+            g = cache.get(key)
+            if g is None:
+                g = cache[key] = host_shard(h, salt, num_gate_shards)
+            gshard[i] = g
+        for g in range(num_gate_shards):
+            sel = df[gshard == g]
+            if len(sel):
+                gates[g].collect.remote(wave, sel.reset_index(drop=True))
+                per_gate[g] = len(sel)
+        return per_gate
 
     def defer(self, rows: pd.DataFrame, wave: int | None = None) -> int:
         """Deferred (politeness) rows go back as their own run, re-eligible
