@@ -423,11 +423,17 @@ class FrontierShard:
             if g is None:
                 g = cache[key] = host_shard(h, salt, num_gate_shards)
             gshard[i] = g
+        acks = []
         for g in range(num_gate_shards):
             sel = df[gshard == g]
             if len(sel):
-                gates[g].collect.remote(wave, sel.reset_index(drop=True))
+                acks.append(gates[g].collect.remote(wave, sel.reset_index(drop=True)))
                 per_gate[g] = len(sel)
+        # block until the gates have BUFFERED every slice: the driver
+        # ray.gets this call before firing decide(), so decide's barrier
+        # is satisfied on its first poll (no retry round-trips). Safe —
+        # collect never calls back into a FrontierShard.
+        ray.get(acks)
         return per_gate
 
     def defer(self, rows: pd.DataFrame, wave: int | None = None) -> int:
