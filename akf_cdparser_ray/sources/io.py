@@ -82,7 +82,11 @@ def write_partition(table: pa.Table, root: str, key: str, lineage: dict | None =
     final = os.path.join(root, key)
     tmpdir = tempfile.mkdtemp(dir=root, prefix=f".{key.replace('/', '_')}.tmp")
     try:
-        pq.write_table(table, os.path.join(tmpdir, "part-0.parquet"))
+        if HAVE_LANCE:  # pragma: no cover - exercised where lance exists
+            lance.write_dataset(table, os.path.join(tmpdir, "part-0.lance"),
+                                mode="create")
+        else:
+            pq.write_table(table, os.path.join(tmpdir, "part-0.parquet"))
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmpdir, final)
@@ -120,7 +124,9 @@ def read_partitions(root: str) -> pa.Table:
         if not os.path.isdir(pdir):
             continue
         for frag in sorted(os.listdir(pdir)):
-            if frag.endswith(".parquet"):
+            if frag.endswith(".lance") and HAVE_LANCE:  # pragma: no cover
+                tables.append(lance.dataset(os.path.join(pdir, frag)).to_table())
+            elif frag.endswith(".parquet"):
                 tables.append(pq.read_table(os.path.join(pdir, frag)))
     if not tables:
         raise FileNotFoundError(f"no completed partitions under {root}")
