@@ -35,15 +35,65 @@ def _ensure_ray(num_cpus: int | None):
     return ray
 
 
+def _write_lse_reports(parsed, out_dir: str, identifier: str = "kapitalentwicklung",
+                       zumstein: bool = True) -> None:
+    """The reference's ``akf-html2json --lse`` endgame (bin/akf-html2json:126,
+    lib/parser.js:1925-1956): analyze the GuV line arrays captured during
+    parsing and print the ungrouped + grouped separator grids as real .xlsx
+    files. Driver memory stays bounded: lines stream batch-by-batch into a
+    temp parquet spool (global first-occurrence order = sorted image_id,
+    the documented checkfile total order), and the analysis itself is the
+    distributed classify → groupby aggregate."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .stages.lse import (
+        analyze_lines, do_grouping, sectors_from_aggregate, write_xlsx_report,
+    )
+
+    spool = tempfile.mkdtemp(prefix="lse_lines_")
+    ordered = parsed.select_columns(["image_id", "lse_lines"]).sort("image_id")
+    n = part = 0
+    for b in ordered.iter_batches(batch_size=256, batch_format="pandas"):
+        lines: list[str] = []
+        for blob in b["lse_lines"]:
+            for arr in json.loads(blob or "[]"):
+                lines.extend(arr)
+        if not lines:
+            continue
+        tbl = pa.table({
+            "line": pa.array(lines, pa.large_string()),
+            "line_idx": pa.array(range(n, n + len(lines)), pa.int64()),
+        })
+        pq.write_table(tbl, os.path.join(spool, f"part-{part:05d}.parquet"))
+        n += len(lines)
+        part += 1
+    if n == 0:
+        print("Skipping linesegment analysis")  # ref parser.js:1944
+        return
+    df = analyze_lines(rd.read_parquet(spool), zumstein=zumstein)
+    sectors = sectors_from_aggregate(df, zumstein=zumstein)
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.join(out_dir, "LineSegmentAnalysis_PRINTOUT_")
+    write_xlsx_report(sectors, f"{base}{identifier}.xlsx")
+    grouped = do_grouping(sectors)
+    write_xlsx_report(grouped, f"{base}{identifier}Grouped.xlsx")
+    print(f"wrote LSE reports {base}{identifier}[Grouped].xlsx ({n} lines)")
+
+
 def cmd_html2json(args) -> int:
     ray = _ensure_ray(args.parallel)
     from .sources.dirsource import parse_html_tree, write_mirrored_json
 
     with_cf = bool(getattr(args, "checkfiles", None))
+    do_lse = bool(getattr(args, "lse", None))
     parsed = parse_html_tree(args.input, batch_size=args.batch_size,
-                             with_audit=with_cf)
-    if with_cf:
-        parsed = parsed.materialize()  # consumed twice: json sink + checkfiles
+                             with_audit=with_cf, with_lse=do_lse)
+    if with_cf or do_lse:
+        parsed = parsed.materialize()  # consumed twice: json sink + reports
     written = write_mirrored_json(parsed, args.output)
     if with_cf:
         # reference semantics: ./checkfiles/*.txt accumulated over the run
@@ -74,6 +124,8 @@ def cmd_html2json(args) -> int:
             for f in handles.values():
                 f.close()
         print(f"wrote checkfiles under {args.checkfiles}")
+    if do_lse:
+        _write_lse_reports(parsed, args.lse)
     print(f"wrote {written} json files under {args.output}")
     ray.shutdown()
     return 0
@@ -173,6 +225,11 @@ def main(argv=None) -> int:
     p.add_argument("--checkfiles", default=None, metavar="DIR",
                    help="also write the reference's per-category checkfile "
                         "audit logs (byte-faithful) into DIR")
+    p.add_argument("--lse", default=None, metavar="DIR",
+                   help="also run the line-segment analysis over the GuV "
+                        "sections and write the ungrouped + grouped "
+                        "separator grids as .xlsx into DIR (the "
+                        "reference's -l/--lse flag)")
     p.set_defaults(fn=cmd_html2json)
 
     p = sub.add_parser("validate", help="schema-validate parsed JSON files")

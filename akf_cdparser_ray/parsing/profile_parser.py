@@ -56,6 +56,9 @@ class ProfileParser:
         self.dicts = dicts or get_default()
         # checkfile audit sink (ref lib/checkfileWriter.js); None = no logging
         self.audit = audit
+        # LSE line capture (ref parser.js:1914 addLineArrayToAnalysis): set
+        # to a list to collect each GuV section's line array during parse
+        self.lse_lines: list[list[str]] | None = None
         self._lastidx = 0  # Checkfile_Index Diffindex state (ref parser.js:68,81-88)
         # (match_pattern, fn, disabled) — order matters, first match wins
         # (ref parser.js:94-1854; disabled entries at :516,:552 kept for parity)
@@ -1334,6 +1337,10 @@ class ProfileParser:
             ):
                 break
         robj = pt.recognize_table_arrays(lines_guv)
+        if self.lse_lines is not None:
+            # same capture point as ref parser.js:1833 (post-recognize, the
+            # same array object — any in-place mutation is part of the feed)
+            self.lse_lines.append(lines_guv)
         tables_parsed = pt.create_parsed_tables(robj["tablesArr"])
         result = pt.parse_aus_gewinn_und_verlustrechnungen(
             tables_parsed, robj["tablesArr"], robj["rest"], robj["infos"], headline

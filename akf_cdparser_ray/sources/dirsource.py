@@ -39,9 +39,10 @@ def read_html_tree(root: str):
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
-def parse_html_tree(root: str, batch_size: int = 64, with_audit: bool = False):
+def parse_html_tree(root: str, batch_size: int = 64, with_audit: bool = False,
+                    with_lse: bool = False):
     """Directory tree → parsed profile JSON rows (relpath, caption, status,
-    + the checkfile audit column when requested)."""
+    + the checkfile audit / LSE line-capture columns when requested)."""
     from ..stages.cached import cached_parse_batch
 
     ds = read_html_tree(root)
@@ -61,12 +62,14 @@ def parse_html_tree(root: str, batch_size: int = 64, with_audit: bool = False):
         )
 
     parsed = ds.map_batches(adapt, batch_format="pyarrow").map_batches(
-        cached_parse_batch(with_audit=with_audit),
+        cached_parse_batch(with_audit=with_audit, with_lse=with_lse),
         batch_format="pyarrow", batch_size=batch_size, num_cpus=1
     )
     cols = ["image_id", "caption", "status", "error"]
     if with_audit:
         cols.append("audit")
+    if with_lse:
+        cols.append("lse_lines")
     return parsed.select_columns(cols)
 
 

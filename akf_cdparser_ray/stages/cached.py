@@ -35,17 +35,18 @@ def cached_fetch_batch(corpus_size: int, seed: int = 42):
 
 
 def cached_parse_batch(dictfiles_dir: str | None = None, with_residue: bool = False,
-                       with_audit: bool = False):
+                       with_audit: bool = False, with_lse: bool = False):
     """Returns a task-ready batch fn with a per-process ParseProfiles."""
     from .parse_stage import ParseProfiles
 
-    key = ("parse", dictfiles_dir, with_residue, with_audit)
+    key = ("parse", dictfiles_dir, with_residue, with_audit, with_lse)
 
     def fn(batch: pa.Table) -> pa.Table:
         p = _CACHE.get(key)
         if p is None:
             p = _CACHE[key] = ParseProfiles(dictfiles_dir, with_residue,
-                                            with_audit=with_audit)
+                                            with_audit=with_audit,
+                                            with_lse=with_lse)
         return p(batch)
 
     return fn

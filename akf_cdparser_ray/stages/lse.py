@@ -11,9 +11,11 @@ This port is layout-faithful: ``build_sectors_holder`` + ``do_grouping`` +
 ``render_cells`` reproduce the reference's xlsx cell grid exactly (verified
 against the real analyzer under tools/refrun in
 tests/test_reference_parity.py), including JS insertion-order key iteration
-and the stable ctr-descending sort of each printed column. The xlsx binary
-becomes a JSON/CSV grid (exceljs has no sandbox equivalent; S5 is a
-driver-side post-processing step by design).
+and the stable ctr-descending sort of each printed column. The xlsx
+artifact itself is real: ``write_xlsx_report`` emits the grid as a valid
+.xlsx via the from-scratch OOXML writer in ``sources/xlsx.py`` (CSV/JSON
+renderings remain for diffing); S5 is a driver-side post-processing step
+by design.
 
 Ray-Data-native shape: the global mutable ``setOfLines`` accumulator becomes
 ``map_batches(classify)`` → partial-then-final
@@ -30,6 +32,7 @@ import re
 import pandas as pd
 
 from ..functions import regex_lib as rl
+from ..sources.xlsx import write_xlsx
 
 SEGMENT_NUM = 10      # ref lineSegmentAnalyzer.js:20
 GROUPING_RANGE = 1    # ref :21
@@ -351,6 +354,19 @@ def render_cells(sectors: list[dict], ignore_whitespaces: bool = True) -> dict:
             cells[row_index][_sector_key(i + 1, 3)] = occ["isGroup"]
             row_index += 1
     return {"columns": columns, "cells": cells}
+
+
+def write_xlsx_report(sectors: list[dict], path: str,
+                      ignore_whitespaces: bool = True) -> str:
+    """The reference's printDataset as a real .xlsx binary (ref
+    ``lineSegmentAnalyzer.js:760-949``): sheet ``MainSheet``, creator
+    ``lineSegmentAnalyzer``, per-sector column widths 16/5/3 — written by
+    the from-scratch OOXML writer in ``sources/xlsx.py`` (no exceljs in
+    this environment; the cell grid itself is the parity-tested part)."""
+    grid = render_cells(sectors, ignore_whitespaces)
+    widths = [16.0, 5.0, 3.0] * len(sectors)
+    return write_xlsx(path, grid, sheet_name="MainSheet",
+                      creator="lineSegmentAnalyzer", widths=widths)
 
 
 def render_csv(sectors: list[dict], ignore_whitespaces: bool = True) -> str:

@@ -32,11 +32,13 @@ class ParseProfiles:
         with_residue: bool = False,
         with_counts: bool = False,
         with_audit: bool = False,
+        with_lse: bool = False,
     ):
         self.parser = ProfileParser(Dictionaries(dictfiles_dir))
         self.with_residue = with_residue
         self.with_counts = with_counts
         self.with_audit = with_audit
+        self.with_lse = with_lse
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json as _json
@@ -48,11 +50,14 @@ class ParseProfiles:
         residues: list[float] = []
         counts: list[str] = []
         audits: list[str] = []
+        lse_cols: list[str] = []
         for html in htmls:
             try:
                 if self.with_audit:
                     # fresh per-document sink → one JSON audit blob per row
                     self.parser.audit = AuditSink()
+                if self.with_lse:
+                    self.parser.lse_lines = []
                 parsed = self.parser.parse(html)
                 captions.append(canonical_caption(parsed))
                 if self.with_audit:
@@ -66,6 +71,10 @@ class ParseProfiles:
                 if self.with_counts:
                     # per-document section call counts (ref lib/callCounter.js)
                     counts.append(_json.dumps(self.parser._counts, sort_keys=True))
+                if self.with_lse:
+                    lse_cols.append(_json.dumps(
+                        self.parser.lse_lines, ensure_ascii=False))
+                    self.parser.lse_lines = None
             except Exception as exc:  # mirror failed[]-and-continue semantics
                 captions.append(None)
                 statuses.append("error")
@@ -80,6 +89,11 @@ class ParseProfiles:
                         self.parser.audit.rows if self.parser.audit else [],
                         ensure_ascii=False))
                     self.parser.audit = None
+                if self.with_lse:
+                    # analyzer keeps line arrays added before the crash
+                    lse_cols.append(_json.dumps(
+                        self.parser.lse_lines or [], ensure_ascii=False))
+                    self.parser.lse_lines = None
         cols = {
             "image_id": batch.column("image_id"),
             "bytes": batch.column("bytes"),
@@ -97,6 +111,8 @@ class ParseProfiles:
             cols["section_counts"] = pa.array(counts, pa.string())
         if self.with_audit:
             cols["audit"] = pa.array(audits, pa.string())
+        if self.with_lse:
+            cols["lse_lines"] = pa.array(lse_cols, pa.string())
         return pa.table(cols)
 
 
