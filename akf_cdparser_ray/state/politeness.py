@@ -8,6 +8,7 @@ BASELINE.json north rule).
 
 from __future__ import annotations
 
+from .robots import RobotsTxt
 
 DEFAULT_BUDGET = {"per_wave": 8, "burst": 16}
 
@@ -43,25 +44,21 @@ def synth_robots_txt(host: str) -> str:
 
 
 class RobotsRules:
-    """Tiny robots.txt evaluator: ``Disallow`` prefix rules for ``*``."""
+    """Gate-facing robots evaluator: full RFC 9309 semantics via
+    ``state.robots.RobotsTxt`` (groups, longest-match Allow/Disallow,
+    ``*``/``$`` wildcards, agent selection). For plain prefix-Disallow
+    files — the synthetic fixtures — the verdicts are identical to the
+    old prefix matcher, so crawl replay traces are unchanged."""
 
-    def __init__(self, text: str):
-        self.disallow: list[str] = []
-        active = False
-        for line in text.splitlines():
-            line = line.split("#", 1)[0].strip()
-            if not line:
-                continue
-            key, _, val = line.partition(":")
-            key = key.strip().lower()
-            val = val.strip()
-            if key == "user-agent":
-                active = val == "*"
-            elif key == "disallow" and active and val:
-                self.disallow.append(val)
+    def __init__(self, text: str, agent: str = "*"):
+        self._robots = RobotsTxt(text)
+        self._agent = agent
 
     def allowed(self, path: str) -> bool:
-        return not any(path.startswith(d) for d in self.disallow)
+        return self._robots.allowed(path, self._agent)
+
+    def crawl_delay(self) -> float | None:
+        return self._robots.crawl_delay(self._agent)
 
 
 class PolitenessState:

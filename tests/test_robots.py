@@ -1,0 +1,103 @@
+"""RFC 9309 robots.txt parser tests (state/robots.py).
+
+Cases are taken from the RFC's own examples (§2.2.2 longest-match table,
+§5.1/§5.2 group examples) plus the widely-published wildcard semantics.
+"""
+
+from akf_cdparser_ray.state.politeness import RobotsRules, synth_robots_txt
+from akf_cdparser_ray.state.robots import RobotsTxt
+
+RFC_GROUPS = """\
+User-agent: a
+User-agent: b
+Disallow: /a-and-b/
+
+User-agent: c
+Disallow: /only-c/
+
+User-agent: *
+Disallow: /default/
+"""
+
+
+def test_group_selection_and_fallback():
+    r = RobotsTxt(RFC_GROUPS)
+    # multi-agent group applies to both tokens
+    assert not r.allowed("/a-and-b/x", agent="a")
+    assert not r.allowed("/a-and-b/x", agent="b")
+    assert r.allowed("/only-c/x", agent="a")
+    assert not r.allowed("/only-c/x", agent="c")
+    # unmatched agent falls back to '*'
+    assert not r.allowed("/default/x", agent="zzz")
+    # a matched group SHADOWS '*' entirely
+    assert r.allowed("/default/x", agent="c")
+    # longest product-token prefix wins, case-insensitive
+    r2 = RobotsTxt("User-agent: foo\nDisallow: /x/\n"
+                   "User-agent: foobar\nDisallow: /y/\n")
+    assert r2.allowed("/x/1", agent="FooBar-1.0")
+    assert not r2.allowed("/y/1", agent="FooBar-1.0")
+
+
+def test_longest_match_precedence():
+    # RFC 9309 §2.2.2 example table
+    r = RobotsTxt("User-agent: *\nAllow: /example/page/\nDisallow: /example/\n")
+    assert r.allowed("/example/page/")
+    assert not r.allowed("/example/other")
+    # equal-length tie -> Allow wins
+    r2 = RobotsTxt("User-agent: *\nAllow: /page\nDisallow: /page\n")
+    assert r2.allowed("/page")
+    # no matching rule -> allowed
+    assert r2.allowed("/other")
+
+
+def test_wildcards_and_anchor():
+    r = RobotsTxt("User-agent: *\nDisallow: /*.gif$\nDisallow: /tmp/*\n")
+    assert not r.allowed("/a/b/c.gif")
+    assert r.allowed("/a/b/c.gif?x=1")  # $ anchors the very end
+    assert not r.allowed("/tmp/anything/here")
+    assert r.allowed("/tmpfile")
+    # * inside a path segment
+    r2 = RobotsTxt("User-agent: *\nDisallow: /private*data\n")
+    assert not r2.allowed("/private-user-data")
+    assert r2.allowed("/data-private")
+
+
+def test_edge_cases():
+    # empty Disallow allows everything; empty file allows everything
+    assert RobotsTxt("User-agent: *\nDisallow:\n").allowed("/anything")
+    assert RobotsTxt("").allowed("/anything")
+    # comments, BOM, CRLF, unknown directives, percent-case folding
+    r = RobotsTxt("﻿User-agent: *\r\nDisallow: /a/ # trailing\r\n"
+                  "Weird-directive: x\r\nDisallow: /%7Eb/\r\n")
+    assert not r.allowed("/a/x")
+    assert not r.allowed("/%7eb/x")
+    # rules before any user-agent line are ignored
+    assert RobotsTxt("Disallow: /x/\nUser-agent: *\nDisallow: /y/\n").allowed("/x/1")
+    # same-agent groups merge (§2.2.1)
+    r2 = RobotsTxt("User-agent: *\nDisallow: /a/\n\n"
+                   "User-agent: *\nDisallow: /b/\n")
+    assert not r2.allowed("/a/1") and not r2.allowed("/b/1")
+
+
+def test_crawl_delay_and_sitemap():
+    r = RobotsTxt("User-agent: bot\nCrawl-delay: 2.5\nDisallow: /x/\n"
+                  "Sitemap: https://example.com/sitemap.xml\n"
+                  "User-agent: *\nDisallow:\n")
+    assert r.crawl_delay(agent="bot-2.1") == 2.5
+    assert r.crawl_delay() is None
+    assert r.sitemaps == ["https://example.com/sitemap.xml"]
+
+
+def test_gate_wrapper_matches_old_prefix_semantics():
+    """The synthetic fixture robots (prefix Disallows only) must evaluate
+    identically under RFC semantics — crawl replay traces depend on it."""
+    for host in ("host0.example", "host7.example", "hostelse.example"):
+        text = synth_robots_txt(host)
+        rules = RobotsRules(text)
+        prefixes = [ln.split(":", 1)[1].strip()
+                    for ln in text.splitlines() if ln.startswith("Disallow")]
+        for path in ("/1999/a.html", "/2000/b.html", "/2015/c.html",
+                     "/private/x", "/pub/ok.html", "/"):
+            assert rules.allowed(path) == (
+                not any(path.startswith(p) for p in prefixes)
+            ), (host, path)
