@@ -574,6 +574,28 @@ def q_lse_report(sf_dir: str):
     return separator_report(ds.map_batches(to_lines, batch_format="pandas"))
 
 
+def q_approx_distinct(sf_dir: str):
+    """Per-type approximate distinct users via mergeable HyperLogLog
+    sketches (rows-only: no SQL engine shares the register layout; pytest
+    asserts <5% error vs exact and the golden pins the exact output)."""
+    from akf_cdparser_ray.stages.sketches import grouped_approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ds, "event_type", "user_id", p=12)
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Per-type streaming value quantiles via order-independent merging
+    t-digests (the sketch alternative to the exact grouped_median). The
+    digest merge is independent of merge ORDER but not of how rows were
+    batched into partials, so the query pins the partitioning (fixed
+    block count) to keep the golden stable across parallelism levels."""
+    from akf_cdparser_ray.stages.sketches import grouped_approx_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"]).repartition(8)
+    return grouped_approx_quantiles(ds, "event_type", "value", [0.5, 0.95])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -606,6 +628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_mktsegment": q_join_mktsegment,
         "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantiles": q_approx_quantiles,
     }
 
 

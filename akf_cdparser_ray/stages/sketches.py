@@ -1,0 +1,265 @@
+"""Mergeable streaming sketches: HyperLogLog + t-digest (100-TB operators).
+
+At web scale, exact distinct counts and exact quantiles are all-to-all
+shuffles of the full key/value set (``stages/windows.grouped_median`` is
+the exact kernel). The production path is a SKETCH: constant-size partial
+state per block, an associative+commutative merge, one tiny final reduce.
+Both sketches here are deterministic (fixed hash keys, order-independent
+merges) so query goldens can pin their outputs.
+
+- HyperLogLog (Flajolet et al. 2007, HLL++ bias regime): 2^p uint8
+  registers; per-batch partials via vectorized numpy (pandas' stable
+  64-bit siphash → register index + exact leading-zero rank via binary
+  masking, no float log2); merge = elementwise max (commutative,
+  idempotent); estimate with the standard alpha_m correction and
+  linear-counting small-range fallback.
+- t-digest (Dunning & Ertl 2019, merging variant): per-batch digests are
+  built and re-clustered from the SORTED centroid list with the k1-style
+  size bound, so a merge of digests is independent of arrival order —
+  digest(A ∪ B) == digest(B ∪ A) byte-for-byte.
+
+Dataset shape: ``map_batches`` partials (one sketch row per batch per
+group) → ``groupby(key).map_groups`` merge → scalar per group. The
+driver only ever sees finished sketches (p=14 HLL = 16 KiB; delta=200
+digest ≈ 3 KiB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# shared hashing
+# ---------------------------------------------------------------------------
+
+
+def _hash64(values) -> np.ndarray:
+    """Stable (fixed-key siphash) uint64 hash of an array-like of values."""
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        arr = pd.Index(arr).astype(str).to_numpy(dtype=object)
+        return pd.util.hash_array(arr, categorize=False)
+    return pd.util.hash_array(arr)
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-of-leading-zeros for uint64 (w == 0 → 64)."""
+    n = np.zeros(w.shape, dtype=np.int64)
+    x = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = (x >> np.uint64(64 - shift)) == 0  # top `shift` bits all zero
+        n[mask] += shift
+        x[mask] <<= np.uint64(shift)
+    n[w == 0] = 64
+    return n
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_partial(values, p: int = 14) -> np.ndarray:
+    """One batch of values → 2^p uint8 registers."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    rho = np.minimum(_clz64(w), 64 - p) + 1  # rank in [1, 65-p]
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting small-range regime
+    return float(est)
+
+
+def approx_distinct(ds, col: str, p: int = 14) -> int:
+    """Global approximate distinct count: per-block registers stream to
+    the driver (one 2^p-byte row per block), folded with elementwise max."""
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_partial(batch.column(col).to_pylist(), p)
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_size=64, batch_format="pyarrow"):
+        for blob in b.column("registers").to_pylist():
+            regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
+    return int(round(hll_estimate(regs)))
+
+
+def grouped_approx_distinct(ds, key: str, col: str, p: int = 12):
+    """Per-group approximate distinct: batch partials keyed by group, one
+    shuffle of 2^p-byte sketches (not values), max-merge in map_groups."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in batch.groupby(key, sort=True):
+            rows.append((k, hll_partial(g[col].to_numpy(), p).tobytes()))
+        return pd.DataFrame(rows, columns=[key, "registers"])
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for blob in group["registers"]:
+            regs = hll_merge(regs, np.frombuffer(blob, dtype=np.uint8))
+        return pd.DataFrame({
+            key: [group[key].iloc[0]],
+            "approx_distinct": [int(round(hll_estimate(regs)))],
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.sort(key)
+
+
+# ---------------------------------------------------------------------------
+# t-digest
+# ---------------------------------------------------------------------------
+
+
+class TDigest:
+    """Merging t-digest with a deterministic, order-independent compress:
+    centroids are always rebuilt from the globally sorted centroid list,
+    greedily packing while the k1 scale bound allows — so any merge order
+    over the same multiset yields identical centroids."""
+
+    __slots__ = ("delta", "means", "weights")
+
+    def __init__(self, delta: int = 200,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0, np.float64)
+        self.weights = weights if weights is not None else np.empty(0, np.float64)
+
+    @classmethod
+    def of(cls, values, delta: int = 200) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        d = cls(delta)
+        if len(v):
+            v.sort(kind="stable")
+            d.means, d.weights = _compress(v, np.ones(len(v)), delta)
+        return d
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        return TDigest.merge_all([self, other], self.delta)
+
+    @classmethod
+    def merge_all(cls, digests: list["TDigest"], delta: int = 200) -> "TDigest":
+        """Order-independent merge: concatenate EVERY input centroid, sort
+        once, compress once — a pure function of the multiset of partial
+        centroids (sequential pairwise merging would be order-dependent
+        because each intermediate compress is lossy)."""
+        ms = [d.means for d in digests if len(d.means)]
+        if not ms:
+            return cls(delta)
+        m = np.concatenate(ms)
+        w = np.concatenate([d.weights for d in digests if len(d.means)])
+        order = np.lexsort((w, m))  # mean asc, weight tiebreak → canonical
+        means, weights = _compress(m[order], w[order], delta)
+        return cls(delta, means, weights)
+
+    def quantile(self, q: float) -> float:
+        """Standard centroid interpolation at cumulative rank q·W."""
+        if not len(self.means):
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        W = self.weights.sum()
+        target = q * W
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = int(np.searchsorted(cum, target) - 1)
+        span = cum[i + 1] - cum[i]
+        frac = (target - cum[i]) / span if span > 0 else 0.0
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    # -- serialization (sketch rows shuffle as bytes) -------------------
+    def to_bytes(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).astype("<f8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, delta: int = 200) -> "TDigest":
+        arr = np.frombuffer(blob, dtype="<f8")
+        n = len(arr) // 2
+        return cls(delta, arr[:n].copy(), arr[n:].copy())
+
+
+def _k1(q: float, delta: int) -> float:
+    return delta / (2 * np.pi) * np.arcsin(2 * q - 1)
+
+
+def _compress(means: np.ndarray, weights: np.ndarray, delta: int):
+    """Greedy left-to-right packing of sorted centroids under the k1
+    scale-function bound (pure function of the sorted input)."""
+    W = weights.sum()
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = means[0], weights[0]
+    q0 = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q2 = q0 + (cur_w + w) / W
+        if _k1(min(q2, 1.0), delta) - _k1(q0, delta) <= 1.0:
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q0 += cur_w / W
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def grouped_approx_quantiles(ds, key: str, col: str, qs: list[float],
+                             delta: int = 200):
+    """Per-group t-digest quantiles: batch digests → one sketch shuffle →
+    order-independent merge → interpolated quantiles. Columns are
+    ``q_<percent>`` (e.g. q_50 for the median)."""
+    qcols = [f"q_{int(round(q * 100))}" for q in qs]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in batch.groupby(key, sort=True):
+            rows.append((k, TDigest.of(g[col].to_numpy(), delta).to_bytes()))
+        return pd.DataFrame(rows, columns=[key, "digest"])
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.merge_all(
+            [TDigest.from_bytes(blob, delta) for blob in group["digest"]], delta
+        )
+        row = {key: [group[key].iloc[0]]}
+        for q, qc in zip(qs, qcols):
+            row[qc] = [d.quantile(q)]
+        return pd.DataFrame(row)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
+    )
+    return out.sort(key)

@@ -1,0 +1,116 @@
+"""HyperLogLog + t-digest sketch tests (stages/sketches.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from akf_cdparser_ray.stages.sketches import (
+    TDigest, _clz64, approx_distinct, grouped_approx_distinct,
+    grouped_approx_quantiles, hll_estimate, hll_merge, hll_partial,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_clz64_exact():
+    vals = np.array([0, 1, 2, 3, (1 << 63), (1 << 63) - 1, (1 << 40) + 5,
+                     0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    got = _clz64(vals)
+    exp = [64 - int(v).bit_length() if v else 64 for v in vals]
+    assert got.tolist() == exp
+
+
+@pytest.mark.parametrize("n", [100, 5_000, 100_000])
+def test_hll_accuracy(n):
+    regs = hll_partial(np.arange(n, dtype=np.int64), p=14)
+    est = hll_estimate(regs)
+    assert abs(est - n) / n < 0.03  # p=14 std error ~0.81%
+
+
+def test_hll_merge_equals_whole_and_is_commutative():
+    a = np.arange(0, 60_000, dtype=np.int64)
+    b = np.arange(40_000, 90_000, dtype=np.int64)  # overlapping
+    ra, rb = hll_partial(a, p=12), hll_partial(b, p=12)
+    whole = hll_partial(np.concatenate([a, b]), p=12)
+    assert np.array_equal(hll_merge(ra, rb), whole)
+    assert np.array_equal(hll_merge(ra, rb), hll_merge(rb, ra))
+
+
+def test_hll_strings_and_small_range():
+    regs = hll_partial([f"user-{i}" for i in range(50)], p=12)
+    assert abs(hll_estimate(regs) - 50) < 3  # linear-counting regime
+
+
+def test_tdigest_quantiles_accuracy():
+    rng = np.random.RandomState(7)
+    vals = rng.lognormal(0.0, 1.0, 200_000)
+    d = TDigest.of(vals, delta=200)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        exact = np.quantile(vals, q)
+        assert abs(d.quantile(q) - exact) / exact < 0.02, q
+
+
+def test_tdigest_merge_order_independent():
+    rng = np.random.RandomState(11)
+    chunks = [TDigest.of(rng.normal(i, 1.0, 5_000)) for i in range(6)]
+    fwd = TDigest.merge_all(chunks)
+    rev = TDigest.merge_all(chunks[::-1])
+    shuffled = TDigest.merge_all([chunks[i] for i in (3, 0, 5, 1, 4, 2)])
+    assert fwd.to_bytes() == rev.to_bytes() == shuffled.to_bytes()
+
+
+def test_tdigest_edges():
+    assert np.isnan(TDigest.of([]).quantile(0.5))
+    assert TDigest.of([42.0]).quantile(0.9) == 42.0
+    d = TDigest.of([1.0, 2.0, 3.0, 4.0])
+    assert d.quantile(0.0) == 1.0 and d.quantile(1.0) == 4.0
+    rt = TDigest.from_bytes(d.to_bytes())
+    assert np.array_equal(rt.means, d.means)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_approx_distinct_vs_exact():
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "user_id"])
+    got = grouped_approx_distinct(ds, "event_type", "user_id", p=12).to_pandas()
+    exact = (
+        pd.read_parquet(f"{SF_DIR}/events.parquet",
+                        columns=["event_type", "user_id"])
+        .groupby("event_type")["user_id"].nunique()
+    )
+    assert set(got["event_type"]) == set(exact.index)
+    for _i, row in got.iterrows():
+        e = exact[row["event_type"]]
+        assert abs(row["approx_distinct"] - e) / e < 0.05, row["event_type"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_approx_distinct_vs_exact():
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["user_id"])
+    got = approx_distinct(ds, "user_id", p=14)
+    exact = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                            columns=["user_id"])["user_id"].nunique()
+    assert abs(got - exact) / exact < 0.03
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_approx_quantiles_vs_exact():
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "value"])
+    got = grouped_approx_quantiles(
+        ds, "event_type", "value", [0.5, 0.95], delta=200
+    ).to_pandas()
+    raw = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                          columns=["event_type", "value"])
+    for _i, row in got.iterrows():
+        vals = raw[raw["event_type"] == row["event_type"]]["value"].to_numpy()
+        for q, col in ((0.5, "q_50"), (0.95, "q_95")):
+            exact = np.quantile(vals, q)
+            denom = max(abs(exact), 1e-9)
+            assert abs(row[col] - exact) / denom < 0.05, (row["event_type"], q)
