@@ -321,17 +321,18 @@ def q_host_counts(sf_dir: str):
     count per host (matches the SQL mirror string-for-string)."""
     import pandas as pd
 
-    from akf_cdparser_ray.stages.links import canonicalize_url, host_of
+    from akf_cdparser_ray.stages.links import canonicalize_urls, hosts_of
     from akf_cdparser_ray.stages.relational import partial_groupby_sum
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
 
     def mk(batch: pd.DataFrame) -> pd.DataFrame:
-        urls = [
-            canonicalize_url(f"HTTP://Host{u % 7}.example/p/{e}/")
-            for u, e in zip(batch["user_id"], batch["event_id"])
-        ]
-        return pd.DataFrame({"host": [host_of(u) for u in urls], "one": 1})
+        raw = (
+            "HTTP://Host" + (batch["user_id"] % 7).astype(str)
+            + ".example/p/" + batch["event_id"].astype(str) + "/"
+        )
+        urls = canonicalize_urls(raw)
+        return pd.DataFrame({"host": hosts_of(urls), "one": 1})
 
     out = partial_groupby_sum(ds.map_batches(mk, batch_format="pandas"), ["host"], ["one"])
     df = out.to_pandas().rename(columns={"one": "n"})

@@ -68,6 +68,27 @@ def test_canonicalize():
     )
 
 
+def test_canonicalize_urls_vectorized_matches_scalar():
+    """The pyarrow fast path must be byte-equivalent to canonicalize_url
+    row-for-row, including every fallback-triggering shape."""
+    import random
+
+    from akf_cdparser_ray.stages.links import canonicalize_urls, host_of, hosts_of
+
+    rng = random.Random(3)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["a.example", "B.Example:80", "c.example:443", "D.EX:8080", "e.ex"]
+    paths = ["", "/", "/x", "/x/", "/x//", "/a/b/c", "/a b", "/%7Ex", "/%7e",
+             "/x?q=1", "/x?b=2&a=1", "/x#f", "///"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(paths)
+        for _ in range(500)
+    ] + ["  http://pad.example/x/ ", "not a url", "", "http://", "//rel/x"]
+    got = canonicalize_urls(urls)
+    assert list(got) == [canonicalize_url(u.strip()) for u in urls]
+    assert hosts_of(got) == [host_of(u) for u in got]
+
+
 def test_extract_links():
     html = '<a href="http://a/x.html">x</a> <a href="/y.html">y</a> <a href="z.html">z</a>'
     got = extract_links(html, "http://base.example/d/page.html")
