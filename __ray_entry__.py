@@ -575,6 +575,15 @@ def q_lse_report(sf_dir: str):
     return separator_report(ds.map_batches(to_lines, batch_format="pandas"))
 
 
+def q_vocabulary(sf_dir: str):
+    """Corpus dictionary: top-100 terms by document frequency with total
+    term frequency (in-batch combiner → one small term-keyed groupby)."""
+    from akf_cdparser_ray.stages.text_analysis import vocabulary
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return vocabulary(ds, top_k=100)
+
+
 def q_approx_distinct(sf_dir: str):
     """Per-type approximate distinct users via mergeable HyperLogLog
     sketches (rows-only: no SQL engine shares the register layout; pytest
@@ -631,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": q_frame_sample,
         "approx_distinct": q_approx_distinct,
         "approx_quantiles": q_approx_quantiles,
+        "vocabulary": q_vocabulary,
     }
 
 
@@ -653,6 +663,16 @@ def oracle_sql() -> dict[str, str]:
         "event_counters": """
             SELECT event_type, sum(value) AS total_value, count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "vocabulary": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-zäöüß0-9_]+')) AS term
+                FROM documents
+            )
+            SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+            FROM toks GROUP BY term
+            ORDER BY df DESC, term ASC LIMIT 100
         """,
         "token_counts": """
             SELECT doc_id,

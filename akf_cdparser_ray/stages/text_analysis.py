@@ -139,3 +139,48 @@ def rolling_fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
         "fp_xor": pd.Series([np.int64(np.uint64(x)) for x in fp_xor], dtype="int64"),
         "fp_min": pd.Series([np.int64(np.uint64(x)) for x in fp_min], dtype="int64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary (document-frequency dictionary)
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOKEN_RE = re.compile(r"[a-zäöüß0-9_]+")
+
+
+def vocabulary_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """One batch of documents → per-term partial (df, tf) rows. The
+    combiner runs IN the batch (term set per doc + Counter across docs) so
+    only |vocab-of-batch| rows enter the term-keyed shuffle, never one row
+    per token occurrence. Tokenizer: lowercase ``[a-zäöüß0-9_]+`` runs —
+    chosen to match the DuckDB mirror's RE2 class character-for-character."""
+    from collections import Counter
+
+    df_ctr: Counter = Counter()
+    tf_ctr: Counter = Counter()
+    for text in batch["text"].fillna(""):
+        toks = _VOCAB_TOKEN_RE.findall(str(text).lower())
+        tf_ctr.update(toks)
+        df_ctr.update(set(toks))
+    terms = sorted(df_ctr)
+    return pd.DataFrame({
+        "term": terms,
+        "df": pd.Series([df_ctr[t] for t in terms], dtype="int64"),
+        "tf": pd.Series([tf_ctr[t] for t in terms], dtype="int64"),
+    })
+
+
+def vocabulary(ds, top_k: int = 100):
+    """Corpus dictionary: the ``top_k`` terms by document frequency
+    (ties broken term-ascending), with total term frequency. Shape:
+    in-batch partial aggregation → one small term-keyed groupby sum →
+    driver-side sort/limit of the tiny aggregate (the full vocabulary
+    table itself stays distributed; only top_k rows materialize)."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(vocabulary_partials, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+    )
+    return agg.sort(["df", "term"], descending=[True, False]).limit(top_k)

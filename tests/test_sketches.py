@@ -114,3 +114,17 @@ def test_grouped_approx_quantiles_vs_exact():
             exact = np.quantile(vals, q)
             denom = max(abs(exact), 1e-9)
             assert abs(row[col] - exact) / denom < 0.05, (row["event_type"], q)
+
+
+def test_vocabulary_partials_combiner():
+    """In-batch combiner semantics: df counts docs, tf counts occurrences."""
+    from akf_cdparser_ray.stages.text_analysis import vocabulary_partials
+
+    batch = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["Foo bar foo", "bar bar", None],
+    })
+    out = vocabulary_partials(batch).set_index("term")
+    assert out.loc["foo", "df"] == 1 and out.loc["foo", "tf"] == 2
+    assert out.loc["bar", "df"] == 2 and out.loc["bar", "tf"] == 3
+    assert list(out.index) == sorted(out.index)
