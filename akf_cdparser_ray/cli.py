@@ -213,6 +213,19 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    ray = _ensure_ray(args.parallel)
+    from .sources.io import compact_partitions
+
+    stats = compact_partitions(args.root, target_rows=args.target_rows)
+    before = sum(s["files_before"] for s in stats)
+    after = sum(s["files_after"] for s in stats)
+    print(json.dumps({"partitions": len(stats), "files_before": before,
+                      "files_after": after}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="akf_cdparser_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -252,6 +265,13 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("-n", "--parallel", type=int, default=None)
     p.set_defaults(fn=cmd_crawl)
+
+    p = sub.add_parser("compact", help="merge small partition fragments "
+                                       "(the pairs sink's per-task files)")
+    p.add_argument("root")
+    p.add_argument("--target-rows", type=int, default=1_000_000)
+    p.add_argument("-n", "--parallel", type=int, default=None)
+    p.set_defaults(fn=cmd_compact)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -116,6 +116,88 @@ def finalize_partition(
     return final
 
 
+def compact_partition(root: str, key: str, target_rows: int = 1_000_000,
+                      update_manifest: bool = True) -> dict:
+    """Rewrite one partition's fragment files into ~target_rows-sized
+    files. Kill-safe like every sink here: compacted files land in a
+    tmpdir which atomically replaces the partition dir; a crash at any
+    point leaves either the old fragments or the finished compaction,
+    never a mix. Row count is verified before the swap.
+
+    ``update_manifest=False`` defers the lineage note to the caller —
+    REQUIRED when compactions run in parallel (concurrent read-modify-
+    write of _MANIFEST.json would lose updates; ``compact_partitions``
+    applies them in one driver-side write)."""
+    pdir = os.path.join(root, key)
+    frags = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    expect_rows = load_manifest(root)["partitions"][key]["rows"]
+    if len(frags) <= 1:
+        return {"key": key, "files_before": len(frags), "files_after": len(frags),
+                "rows": expect_rows, "skipped": True}
+    table = pa.concat_tables(
+        pq.read_table(os.path.join(pdir, f)) for f in frags
+    )
+    assert table.num_rows == expect_rows, (key, table.num_rows, expect_rows)
+    tmpdir = tempfile.mkdtemp(dir=root, prefix=f".{key.replace('/', '_')}.compact")
+    try:
+        n_files = max(1, -(-table.num_rows // target_rows))
+        step = -(-table.num_rows // n_files)
+        for i in range(n_files):
+            pq.write_table(table.slice(i * step, step),
+                           os.path.join(tmpdir, f"part-{i:05d}.parquet"))
+        shutil.rmtree(pdir)
+        os.replace(tmpdir, pdir)
+    except Exception:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
+    if update_manifest:
+        _note_compactions(root, {key: len(frags)})
+    return {"key": key, "files_before": len(frags), "files_after": n_files,
+            "rows": expect_rows, "skipped": False}
+
+
+def _note_compactions(root: str, compacted: dict[str, int]) -> None:
+    manifest = load_manifest(root)
+    for key, n in compacted.items():
+        manifest["partitions"][key].setdefault("lineage", {})["compacted_from"] = n
+    _store_manifest(root, manifest)
+
+
+def compact_partitions(root: str, target_rows: int = 1_000_000):
+    """Compact every finished partition under ``root`` (the small-file
+    problem: a 100-TB crawl's per-task fragment writes leave thousands of
+    tiny parquet files per wave dir). Distributed as a Dataset over the
+    manifest's partition keys — one task per partition, counters back to
+    the driver. Requires an initialized Ray session (callers own it)."""
+    import ray.data as rd
+
+    keys = sorted(load_manifest(root)["partitions"])
+    if not keys:
+        return []
+
+    def work(batch: pa.Table) -> pa.Table:
+        stats = [compact_partition(root, k, target_rows, update_manifest=False)
+                 for k in batch.column("key").to_pylist()]
+        return pa.table({
+            "key": pa.array([s["key"] for s in stats], pa.string()),
+            "files_before": pa.array([s["files_before"] for s in stats], pa.int64()),
+            "files_after": pa.array([s["files_after"] for s in stats], pa.int64()),
+            "rows": pa.array([s["rows"] for s in stats], pa.int64()),
+            "skipped": pa.array([s["skipped"] for s in stats], pa.bool_()),
+        })
+
+    ds = rd.from_arrow(pa.table({"key": pa.array(keys, pa.string())}))
+    out = ds.repartition(len(keys)).map_batches(
+        work, batch_format="pyarrow", num_cpus=1
+    )
+    stats = out.take_all()
+    # one driver-side manifest write for every compaction that ran
+    _note_compactions(root, {
+        s["key"]: s["files_before"] for s in stats if not s["skipped"]
+    })
+    return stats
+
+
 def read_partitions(root: str) -> pa.Table:
     manifest = load_manifest(root)
     tables = []

@@ -67,3 +67,62 @@ def test_partition_semantics_identical_without_lance(tmp_path):
     assert aio.read_partitions(root).num_rows == 3
     aio.write_partition(TBL.slice(0, 1), root, "wave000")
     assert aio.read_partitions(root).num_rows == 1
+
+
+def _fragmented_partition(root, key, n_frags, rows_per_frag=4):
+    """Build a partition of n_frags files via the distributed-write path."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    tmpdir = tempfile.mkdtemp(dir=root, prefix=f".{key}.tmp")
+    total = 0
+    for i in range(n_frags):
+        tbl = pa.table({
+            "image_id": [f"{key}-{i}-{j}" for j in range(rows_per_frag)],
+            "n": list(range(total, total + rows_per_frag)),
+        })
+        pq.write_table(tbl, f"{tmpdir}/part-{i:03d}.parquet")
+        total += rows_per_frag
+    aio.finalize_partition(root, key, tmpdir, total, lineage={"wave": key})
+    return total
+
+
+def test_compact_partition_merges_and_preserves(tmp_path):
+    root = str(tmp_path / "pairs")
+    total = _fragmented_partition(root, "wave000", 5)
+    before = aio.read_partitions(root).sort_by("image_id")
+    stat = aio.compact_partition(root, "wave000", target_rows=1_000)
+    assert stat["files_before"] == 5 and stat["files_after"] == 1
+    after = aio.read_partitions(root).sort_by("image_id")
+    assert after.equals(before) and after.num_rows == total
+    man = aio.load_manifest(root)["partitions"]["wave000"]
+    assert man["rows"] == total and man["lineage"]["compacted_from"] == 5
+    assert man["lineage"]["wave"] == "wave000"  # original lineage kept
+    # idempotent: a second pass is a no-op
+    assert aio.compact_partition(root, "wave000", 1_000)["skipped"]
+
+
+def test_compact_partition_splits_to_target(tmp_path):
+    root = str(tmp_path / "pairs")
+    _fragmented_partition(root, "wave000", 10, rows_per_frag=3)  # 30 rows
+    stat = aio.compact_partition(root, "wave000", target_rows=8)
+    assert stat["files_after"] == 4  # ceil(30/8)
+    assert aio.read_partitions(root).num_rows == 30
+
+
+def test_compact_partitions_distributed(tmp_path, ray_session):
+    root = str(tmp_path / "pairs")
+    totals = {f"wave{k:03d}": _fragmented_partition(root, f"wave{k:03d}", 4)
+              for k in range(3)}
+    before = aio.read_partitions(root).sort_by("image_id")
+    stats = aio.compact_partitions(root, target_rows=1_000)
+    assert len(stats) == 3 and all(not s["skipped"] for s in stats)
+    after = aio.read_partitions(root).sort_by("image_id")
+    assert after.equals(before)
+    man = aio.load_manifest(root)["partitions"]
+    for key, total in totals.items():
+        assert man[key]["rows"] == total
+        assert man[key]["lineage"]["compacted_from"] == 4
