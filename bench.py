@@ -222,7 +222,7 @@ def stats() -> None:
                      batch_size=128, num_cpus=1)
         .map_batches(_count_batch, batch_format="pyarrow", num_cpus=1)
     )
-    out.count()
+    out = out.materialize()  # count() alone leaves stats() empty in 2.49
     print(out.stats())
     ray.shutdown()
 
