@@ -68,9 +68,14 @@ class PolitenessState:
     fetched/parsed once per host per actor and cached across batches.
     """
 
-    def __init__(self, budgets: dict | None = None, robots_fetch=synth_robots_txt):
+    def __init__(self, budgets: dict | None = None, robots_fetch=synth_robots_txt,
+                 wave_seconds: float = 1.0):
         self.budgets = budgets or {}
         self.robots_fetch = robots_fetch
+        # nominal wall-clock length of one wave, used ONLY to translate a
+        # robots Crawl-delay into a deterministic per-wave token budget
+        # (the crawl itself never reads wall clocks — replay invariant)
+        self.wave_seconds = wave_seconds
         self.robots_cache: dict[str, RobotsRules] = {}
         self.buckets: dict[str, TokenBucket] = {}
 
@@ -86,7 +91,17 @@ class PolitenessState:
         gets 1/n_salts of the host budget (shared-budget split)."""
         b = self.buckets.get(host)
         if b is None:
-            cfg = self.budgets.get(host, DEFAULT_BUDGET)
+            cfg = self.budgets.get(host)
+            if cfg is None:
+                cfg = DEFAULT_BUDGET
+                # no explicit operator budget: honor the host's robots
+                # Crawl-delay (≤ 1 fetch per `delay` seconds → at most
+                # wave_seconds/delay tokens per wave, min 1)
+                delay = self.rules_for(host).crawl_delay()
+                if delay and delay > 0:
+                    per = max(1, int(self.wave_seconds / delay))
+                    cfg = {"per_wave": min(per, DEFAULT_BUDGET["per_wave"]),
+                           "burst": min(per, DEFAULT_BUDGET["burst"])}
             per_wave = max(1, cfg["per_wave"] // n_salts)
             burst = max(1, cfg["burst"] // n_salts)
             b = TokenBucket(per_wave, burst)

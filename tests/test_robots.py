@@ -101,3 +101,24 @@ def test_gate_wrapper_matches_old_prefix_semantics():
             assert rules.allowed(path) == (
                 not any(path.startswith(p) for p in prefixes)
             ), (host, path)
+
+
+def test_crawl_delay_derives_politeness_budget():
+    """Without an operator budget, a robots Crawl-delay caps the host's
+    per-wave token budget at wave_seconds/delay (min 1); explicit budgets
+    and delay-free hosts are unchanged."""
+    from akf_cdparser_ray.state.politeness import DEFAULT_BUDGET, PolitenessState
+
+    def fetch(host):
+        if host == "slow.example":
+            return "User-agent: *\nCrawl-delay: 0.5\nDisallow:\n"
+        if host == "glacial.example":
+            return "User-agent: *\nCrawl-delay: 30\nDisallow:\n"
+        return "User-agent: *\nDisallow:\n"
+
+    st = PolitenessState(budgets={"fast.example": {"per_wave": 99, "burst": 99}},
+                         robots_fetch=fetch, wave_seconds=1.0)
+    assert st.bucket_for("slow.example").per_wave == 2      # 1.0 / 0.5
+    assert st.bucket_for("glacial.example").per_wave == 1   # floor at 1
+    assert st.bucket_for("plain.example").per_wave == DEFAULT_BUDGET["per_wave"]
+    assert st.bucket_for("fast.example").per_wave == 99     # explicit wins
