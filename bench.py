@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "pricing_summary", "exact_dedup", "event_counters", "token_counts",
     "fingerprints", "window_hourly", "asof_join", "topk_per_shard",
     "anti_join", "host_counts", "ann_topk", "simhash",
+    "vocabulary", "approx_distinct", "approx_quantiles",
 ]
 
 
