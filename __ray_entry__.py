@@ -584,6 +584,31 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(ds, top_k=100)
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test assignment by key hash: per-split row
+    counts (hash = DuckDB md5_number_lower, so the oracle is hash-exact)."""
+    from ray.data.aggregate import Count
+
+    from akf_cdparser_ray.stages.sampling import split_assign
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = (
+        split_assign(ds, "doc_id")
+        .groupby("split")
+        .aggregate(Count(alias_name="n"))
+    )
+    return out.sort("split")
+
+
+def q_bottomk_sample(sf_dir: str):
+    """Uniform 20-doc sample without replacement via mergeable bottom-k
+    by key hash (deterministic across runs/partitioning)."""
+    from akf_cdparser_ray.stages.sampling import bottom_k_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return bottom_k_sample(ds, "doc_id", k=20)
+
+
 def q_approx_distinct(sf_dir: str):
     """Per-type approximate distinct users via mergeable HyperLogLog
     sketches (rows-only: no SQL engine shares the register layout; pytest
@@ -641,6 +666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_approx_distinct,
         "approx_quantiles": q_approx_quantiles,
         "vocabulary": q_vocabulary,
+        "hash_split": q_hash_split,
+        "bottomk_sample": q_bottomk_sample,
     }
 
 
@@ -663,6 +690,22 @@ def oracle_sql() -> dict[str, str]:
         "event_counters": """
             SELECT event_type, sum(value) AS total_value, count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "hash_split": """
+            WITH b AS (
+                SELECT md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000 AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n
+            FROM b GROUP BY 1 ORDER BY split
+        """,
+        "bottomk_sample": """
+            SELECT doc_id FROM documents
+            ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+            LIMIT 20
         """,
         "vocabulary": """
             WITH toks AS (

@@ -1,0 +1,66 @@
+"""Deterministic sampling/split operator tests (stages/sampling.py)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from akf_cdparser_ray.stages.sampling import (
+    bottom_k_sample, hash_sample, md5_lower64, split_assign,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_md5_lower64_matches_duckdb():
+    import duckdb
+
+    vals = ["42", "0", "hello", "doc-123", "ä"]
+    exp = duckdb.connect().execute(
+        "SELECT " + ", ".join(f"md5_number_lower('{v}')" for v in vals)
+    ).fetchone()
+    assert [md5_lower64(v) for v in vals] == list(exp)
+
+
+def _mk_ds(n=2000):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_assign_ratios_and_determinism():
+    out = split_assign(_mk_ds(), "doc_id").to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # pure function of (key, salt): repartitioning can't move a row
+    again = split_assign(_mk_ds().repartition(7), "doc_id").to_pandas()
+    merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    # a different salt reshuffles membership
+    salted = split_assign(_mk_ds(), "doc_id", salt="v2").to_pandas()
+    m2 = out.merge(salted, on="doc_id", suffixes=("_a", "_b"))
+    assert (m2["split_a"] != m2["split_b"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_sample_rate_and_stability():
+    got = hash_sample(_mk_ds(), "doc_id", 0.25).to_pandas()
+    assert abs(len(got) / 2000 - 0.25) < 0.04
+    # sample at a higher rate is a SUPERSET (hash thresholding property)
+    bigger = hash_sample(_mk_ds(), "doc_id", 0.5).to_pandas()
+    assert set(got["doc_id"]) <= set(bigger["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bottom_k_partition_invariant():
+    a = bottom_k_sample(_mk_ds(), "doc_id", 25)
+    b = bottom_k_sample(_mk_ds().repartition(13), "doc_id", 25)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert len(a) == 25
+    # hand-verified: these ARE the 25 smallest hashes over the key space
+    h = sorted((md5_lower64(i), i) for i in range(2000))[:25]
+    assert a["doc_id"].tolist() == [i for _hh, i in h]
