@@ -584,6 +584,31 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(ds, top_k=100)
 
 
+def q_interval_join(sf_dir: str):
+    """Range join (events self-join): per click event, how many of the
+    same user's events land inside the following 10 minutes — both sides
+    co-partitioned once on the user key, vectorized interval count per
+    shard."""
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.windows import interval_join_partitioned
+
+    def as_points(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": b["user_id"], "ts": b["ts"]})
+
+    def as_anchors(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["event_type"] == "click"]
+        return pd.DataFrame({"anchor_id": sel["event_id"],
+                             "key": sel["user_id"], "ts": sel["ts"]})
+
+    points = _read(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        as_points, batch_format="pandas")
+    anchors = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(as_anchors, batch_format="pandas")
+    return interval_join_partitioned(points, anchors, minutes=10)
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic train/val/test assignment by key hash: per-split row
     counts (hash = DuckDB md5_number_lower, so the oracle is hash-exact)."""
@@ -668,6 +693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary": q_vocabulary,
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
+        "interval_join": q_interval_join,
     }
 
 
@@ -690,6 +716,15 @@ def oracle_sql() -> dict[str, str]:
         "event_counters": """
             SELECT event_type, sum(value) AS total_value, count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "interval_join": """
+            SELECT a.event_id AS anchor_id, count(*) AS n_points
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts >= a.ts
+             AND b.ts < a.ts + INTERVAL 10 MINUTE
+            WHERE a.event_type = 'click'
+            GROUP BY a.event_id ORDER BY anchor_id
         """,
         "hash_split": """
             WITH b AS (

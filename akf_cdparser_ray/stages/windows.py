@@ -211,3 +211,82 @@ def grouped_median(events_ds, key: str = "event_type", col: str = "value") -> pd
 
     out = events_ds.groupby(key).map_groups(med, batch_format="pandas").to_pandas()
     return out.sort_values(key).reset_index(drop=True)
+
+
+def interval_join_partitioned(points_ds, anchors_ds, minutes: int = 10,
+                              num_shards: int = 8) -> pd.DataFrame:
+    """Range (interval) join, co-partitioned on the equi-key: per anchor,
+    the count of same-key points with ``anchor_ts <= ts < anchor_ts +
+    minutes``. Inputs: ``points_ds`` with (key, ts), ``anchors_ds`` with
+    (anchor_id, key, ts). Same scale shape as ``asof_join_partitioned`` —
+    both sides shuffle ONCE by key-hash shard, each shard's match runs
+    sorted + vectorized (two searchsorted calls per anchor over the key's
+    point times; interval hit count = upper_bound − lower_bound, never a
+    per-pair nested loop). Only anchors with ≥1 matching point return
+    (inner-join semantics → the DuckDB mirror is a plain inequality join)."""
+    import numpy as np
+
+    delta = pd.Timedelta(minutes=minutes)
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["key", "ts"]].copy()
+        out["ts"] = out["ts"].astype("datetime64[ns]")
+        out["shard"] = (out["key"].to_numpy() % num_shards).astype("int64")
+        out["side"] = 0
+        out["anchor_id"] = -1
+        return out
+
+    def tag_right(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "key": batch["key"],
+            "ts": batch["ts"].astype("datetime64[ns]"),
+            "shard": (batch["key"].to_numpy() % num_shards).astype("int64"),
+            "side": 1,
+            "anchor_id": batch["anchor_id"],
+        })
+        return out
+
+    def join_shard(group: pd.DataFrame) -> pd.DataFrame:
+        pts = group[group["side"] == 0]
+        anchors = group[group["side"] == 1]
+        empty = pd.DataFrame({"anchor_id": pd.Series(dtype="int64"),
+                              "n_points": pd.Series(dtype="int64")})
+        if pts.empty or anchors.empty:
+            return empty
+        by_key = {k: g["ts"].sort_values().to_numpy()
+                  for k, g in pts.groupby("key", sort=False)}
+        out_ids: list[int] = []
+        out_ns: list[int] = []
+        for key, g in anchors.groupby("key", sort=False):
+            times = by_key.get(key)
+            if times is None:
+                continue
+            starts = g["ts"].to_numpy()
+            lo = np.searchsorted(times, starts, side="left")
+            hi = np.searchsorted(times, starts + np.timedelta64(delta), side="left")
+            hit = hi > lo
+            out_ids.extend(g["anchor_id"].to_numpy()[hit].tolist())
+            out_ns.extend((hi - lo)[hit].tolist())
+        if not out_ids:
+            return empty
+        return pd.DataFrame({"anchor_id": pd.Series(out_ids, dtype="int64"),
+                             "n_points": pd.Series(out_ns, dtype="int64")})
+
+    left = points_ds.map_batches(tag_left, batch_format="pandas")
+    right = anchors_ds.map_batches(tag_right, batch_format="pandas")
+    joined = (
+        left.union(right)
+        .groupby("shard")
+        .map_groups(join_shard, batch_format="pandas")
+    )
+    # the shuffle can emit column-less empty blocks (empty sort partition)
+    # which would poison to_pandas' schema — concat only real frames
+    frames = [
+        b for b in joined.iter_batches(batch_size=None, batch_format="pandas")
+        if len(b.columns)
+    ]
+    if not frames:
+        return pd.DataFrame({"anchor_id": pd.Series(dtype="int64"),
+                             "n_points": pd.Series(dtype="int64")})
+    df = pd.concat(frames, ignore_index=True)
+    return df.sort_values("anchor_id").reset_index(drop=True)

@@ -64,3 +64,32 @@ def test_bottom_k_partition_invariant():
     # hand-verified: these ARE the 25 smallest hashes over the key space
     h = sorted((md5_lower64(i), i) for i in range(2000))[:25]
     assert a["doc_id"].tolist() == [i for _hh, i in h]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_matches_bruteforce():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.windows import interval_join_partitioned
+
+    rng = np.random.RandomState(5)
+    n = 400
+    pts = pd.DataFrame({
+        "key": rng.randint(0, 10, n).astype("int64"),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10_000, n), unit="s"),
+    })
+    anchors = pts.iloc[::5].reset_index(drop=True).copy()
+    anchors["anchor_id"] = np.arange(len(anchors), dtype="int64")
+    got = interval_join_partitioned(
+        rd.from_pandas([pts]), rd.from_pandas([anchors]), minutes=10,
+        num_shards=4,
+    )
+    delta = pd.Timedelta(minutes=10)
+    exp = {}
+    for _i, a in anchors.iterrows():
+        m = pts[(pts["key"] == a["key"]) & (pts["ts"] >= a["ts"])
+                & (pts["ts"] < a["ts"] + delta)]
+        if len(m):
+            exp[a["anchor_id"]] = len(m)
+    assert dict(zip(got["anchor_id"], got["n_points"])) == exp
