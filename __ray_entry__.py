@@ -609,6 +609,17 @@ def q_interval_join(sf_dir: str):
     return interval_join_partitioned(points, anchors, minutes=10)
 
 
+def q_chunk_dedup(sf_dir: str):
+    """Sub-document dedup: content-defined chunking (gear rolling hash) at
+    sentence scale, top duplicated chunks by redundant bytes (rows-only:
+    boundary selection is not SQL-expressible; golden-pinned)."""
+    from akf_cdparser_ray.stages.cdc import chunk_dedup_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_dedup_stats(ds, top_k=50, mask_bits=6, min_chunk=32,
+                             max_chunk=512)
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic train/val/test assignment by key hash: per-split row
     counts (hash = DuckDB md5_number_lower, so the oracle is hash-exact)."""
@@ -694,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "interval_join": q_interval_join,
+        "chunk_dedup": q_chunk_dedup,
     }
 
 

@@ -161,7 +161,7 @@ def crawl_urls_per_sec(num_cpus: int) -> dict:
     the serial lag-1 schedule, which dequeues fresh links one wave
     earlier)."""
     best = None
-    for _trial in range(2):  # shared-VM noise swings 2-3x; take the best
+    for _trial in range(3):  # shared-VM noise swings 2-3x; take the best
         res = _crawl_once(
             60000, warm=(_trial == 0), dequeue_k=384, max_waves=10,
             pipeline_depth=2,

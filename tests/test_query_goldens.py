@@ -28,6 +28,7 @@ GOLDENS = {
     "validate_profiles": "d7766900c8b398a6030da9def6d6896d1ee87eef67a36a5a4348d7241c446f28",
     "approx_distinct": "f10231fb47b6822716100090faed2194a47bdeefe67e7f7a322520a785642bd1",
     "approx_quantiles": "cc13dfb6d9e1351a6386362b272a491f5ad12e11bdcad2ea45eb1aaced59564d",
+    "chunk_dedup": "447b886afabc172dc2b16dc56c1b3ac92b2a63c72ead532626e3430ddd14d99f",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
