@@ -609,6 +609,24 @@ def q_interval_join(sf_dir: str):
     return interval_join_partitioned(points, anchors, minutes=10)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs → dedup clusters: connected components (hash-min
+    label propagation) over the minhash pair graph, keep = min doc_id per
+    cluster (rows-only; the pair set itself is not SQL-expressible)."""
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.components import dedup_keep_set
+    from akf_cdparser_ray.stages.dedup_text import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
+    cols = list(pairs.columns)[:2]
+    edges = pairs.rename(columns={cols[0]: "a", cols[1]: "b"})[["a", "b"]]
+    return dedup_keep_set(edges)
+
+
 def q_chunk_dedup(sf_dir: str):
     """Sub-document dedup: content-defined chunking (gear rolling hash) at
     sentence scale, top duplicated chunks by redundant bytes (rows-only:
@@ -706,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": q_bottomk_sample,
         "interval_join": q_interval_join,
         "chunk_dedup": q_chunk_dedup,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 

@@ -1,0 +1,71 @@
+"""Connected-components / dedup-cluster tests (stages/components.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from akf_cdparser_ray.stages.components import (
+    connected_components, connected_components_ds, dedup_keep_set,
+)
+
+
+def _union_find(a, b):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    return {n: find(n) for n in set(map(int, a)) | set(map(int, b))}
+
+
+def test_shapes():
+    edges = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    out = connected_components(edges)
+    assert out.values.tolist() == [[1, 1], [2, 1], [3, 1], [10, 10], [11, 10]]
+    # chain (worst diameter) and star and self-loop
+    chain = pd.DataFrame({"a": list(range(0, 63)), "b": list(range(1, 64))})
+    got = connected_components(chain)
+    assert (got["component"] == 0).all()
+    star = pd.DataFrame({"a": [50] * 20, "b": list(range(20))})
+    got = connected_components(star)
+    assert (got["component"] == 0).all()
+    loop = pd.DataFrame({"a": [7], "b": [7]})
+    assert connected_components(loop).values.tolist() == [[7, 7]]
+
+
+def test_matches_union_find_on_random_graph():
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 500, 700)
+    b = rng.randint(0, 500, 700)
+    got = connected_components(pd.DataFrame({"a": a, "b": b}))
+    exp = _union_find(a, b)
+    assert {int(r["node"]): int(r["component"])
+            for _i, r in got.iterrows()} == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dataset_variant_matches_pandas_kernel():
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 120, 150)
+    b = rng.randint(0, 120, 150)
+    edges = pd.DataFrame({"a": a, "b": b})
+    fast = connected_components(edges).sort_values("node").reset_index(drop=True)
+    dist = connected_components_ds(edges).sort_values("node").reset_index(drop=True)
+    assert fast["node"].tolist() == dist["node"].tolist()
+    assert fast["component"].tolist() == dist["component"].tolist()
+
+
+def test_dedup_keep_set():
+    edges = pd.DataFrame({"a": [5, 6, 100], "b": [6, 7, 101]})
+    out = dedup_keep_set(edges)
+    kept = set(out[out["keep"]]["node"])
+    assert kept == {5, 100}
+    dropped = set(out[~out["keep"]]["node"])
+    assert dropped == {6, 7, 101}
