@@ -181,6 +181,8 @@ def crawl_urls_per_sec(num_cpus: int) -> dict:
 
 
 def run_queries(sf_dir: str) -> dict:
+    import ray.data as rd
+
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -189,8 +191,11 @@ def run_queries(sf_dir: str) -> dict:
         fn = qs[name]
         t0 = time.perf_counter()
         res = fn(sf_dir)
-        if hasattr(res, "count") and not hasattr(res, "columns"):
-            res.count()  # consume Datasets
+        if isinstance(res, rd.Dataset):
+            # actually consume lazy Datasets — hasattr(res, "columns") is
+            # True for Datasets too (it's a method), which silently left
+            # Dataset-returning queries unexecuted in rounds 1-2
+            res.count()
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 
