@@ -183,4 +183,13 @@ def vocabulary(ds, top_k: int = 100):
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
     )
-    return agg.sort(["df", "term"], descending=[True, False]).limit(top_k)
+    # the aggregate is |vocabulary| rows — orders smaller than the corpus —
+    # so the final ranking is driver-side (saves a distributed Sort
+    # all-to-all); at a scale where the vocabulary itself is huge, swap
+    # for agg.sort([...]).limit(top_k)
+    df = agg.to_pandas()
+    return (
+        df.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+        .head(top_k)
+        .reset_index(drop=True)
+    )
