@@ -609,6 +609,49 @@ def q_interval_join(sf_dir: str):
     return interval_join_partitioned(points, anchors, minutes=10)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: documents' token counts FFD-packed into 512-token
+    training windows; corpus packing summary (rows-only — bin assignment
+    is batch-local, so the partitioning is pinned for the golden)."""
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.packing import packing_stats
+    from akf_cdparser_ray.stages.text_analysis import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
+    toks = ds.map_batches(token_count_batch, batch_format="pandas")
+    return packing_stats(toks, max_len=512)
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction: emails/IPv4s/phones replaced by tokens via pyarrow
+    RE2 kernels — the SAME regex engine DuckDB uses, so the oracle is
+    byte-exact. PII is synthesized deterministically from event ids
+    (identical string construction in both engines) since the synthetic
+    corpus contains none."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from akf_cdparser_ray.stages.text_analysis import scrub_pii_batch
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def mk(b: pd.DataFrame) -> pd.DataFrame:
+        note = (
+            "user" + b["user_id"].astype(str) + "@mail.example ip 10.0."
+            + (b["user_id"] % 250).astype(str) + "."
+            + (b["event_id"] % 250).astype(str)
+            + " call 555-867-5309 e" + b["event_id"].astype(str)
+        )
+        return pd.DataFrame({"event_id": b["event_id"], "note": note})
+
+    import functools
+
+    return ds.map_batches(mk, batch_format="pandas").map_batches(
+        functools.partial(scrub_pii_batch, col="note"), batch_format="pyarrow"
+    )
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup pairs → dedup clusters: connected components (hash-min
     label propagation) over the minhash pair graph, keep = min doc_id per
@@ -725,6 +768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "chunk_dedup": q_chunk_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -747,6 +792,21 @@ def oracle_sql() -> dict[str, str]:
         "event_counters": """
             SELECT event_type, sum(value) AS total_value, count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "pii_scrub": """
+            SELECT event_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       'user' || CAST(user_id AS VARCHAR)
+                       || '@mail.example ip 10.0.'
+                       || CAST(user_id % 250 AS VARCHAR) || '.'
+                       || CAST(event_id % 250 AS VARCHAR)
+                       || ' call 555-867-5309 e' || CAST(event_id AS VARCHAR),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g')
+                   AS note
+            FROM events
         """,
         "interval_join": """
             SELECT a.event_id AS anchor_id, count(*) AS n_points

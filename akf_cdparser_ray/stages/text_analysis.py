@@ -193,3 +193,39 @@ def vocabulary(ds, top_k: int = 100):
         .head(top_k)
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (redaction)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backrefs): applied IN ORDER — the SQL
+# oracle nests regexp_replace the same way, and pyarrow's RE2 is the same
+# regex engine DuckDB uses, so redaction is byte-identical by construction
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii_array(texts):
+    """Vectorized redaction of emails / IPv4s / phone numbers over an
+    Arrow (or array-like) string column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        list(texts), pa.string()
+    )
+    for pattern, token in PII_PATTERNS:
+        arr = pc.replace_substring_regex(arr, pattern, token)
+    return arr
+
+
+def scrub_pii_batch(batch, col: str = "text"):
+    """pyarrow map_batches stage: redact PII in ``col`` in place."""
+    import pyarrow as pa
+
+    idx = batch.schema.get_field_index(col)
+    return batch.set_column(idx, col, scrub_pii_array(batch.column(col)))

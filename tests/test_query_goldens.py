@@ -30,6 +30,7 @@ GOLDENS = {
     "approx_quantiles": "cc13dfb6d9e1351a6386362b272a491f5ad12e11bdcad2ea45eb1aaced59564d",
     "chunk_dedup": "447b886afabc172dc2b16dc56c1b3ac92b2a63c72ead532626e3430ddd14d99f",
     "dedup_clusters": "5d8c1f91b987993c3f07f849f6a8bb22b0ccab796870f60a20bbffa7dbff92d5",
+    "pack_sequences": "39713deeee81746adaffb4eb9ef3302b1e8de65b57013b72402374f150946feb",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
