@@ -609,6 +609,22 @@ def q_interval_join(sf_dir: str):
     return interval_join_partitioned(points, anchors, minutes=10)
 
 
+def q_range_shards(sf_dir: str):
+    """Range-sharded export: t-digest quantile boundaries over the value
+    column → 4 balanced, disjoint-range manifest partitions under /tmp;
+    returns the per-shard (rows, lo, hi) stats (rows-only; partitioning
+    pinned for the golden like every sketch-fed query)."""
+    import tempfile
+
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.export import write_range_shards
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"]).repartition(8)
+    root = tempfile.mkdtemp(prefix="range_shards_")
+    return pd.DataFrame(write_range_shards(ds, root, "value", 4))
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing: documents' token counts FFD-packed into 512-token
     training windows; corpus packing summary (rows-only — bin assignment
@@ -770,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
+        "range_shards": q_range_shards,
     }
 
 

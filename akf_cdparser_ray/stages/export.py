@@ -1,0 +1,97 @@
+"""Range-sharded export: balanced, key-clustered training-data output.
+
+Downstream consumers want output sharded so that (a) shards are roughly
+equal-sized (one trainer worker per shard), (b) each shard covers a
+disjoint key range (pruning + deterministic resharding), and (c) a
+killed export resumes per shard. Hash sharding gives (a)+(c) but not
+(b); a global sort gives (b) at all-to-all cost. This operator gets all
+three with ONE cheap pass: t-digest the key column (constant-size
+mergeable sketch per block), cut shard boundaries at the 1/n quantiles,
+then route rows by ``searchsorted(boundaries, key)`` in a stateless
+map_batches — rows shuffle once into their shard writer, and each shard
+lands as a manifest partition (``sources/io`` semantics: atomic replace,
+lineage, resume-by-skip)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..sources.io import finalize_partition
+from .sketches import TDigest
+
+
+def key_boundaries(ds, key: str, n_shards: int, delta: int = 400) -> np.ndarray:
+    """n_shards-1 interior quantile cuts of ``key`` via merged per-batch
+    t-digests (one sketch row per batch reaches the driver)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.of(batch[key].to_numpy(dtype=np.float64), delta)
+        return pd.DataFrame({"digest": [d.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    digests = [
+        TDigest.from_bytes(blob, delta)
+        for b in parts.iter_batches(batch_size=256, batch_format="pandas")
+        for blob in b["digest"]
+    ]
+    merged = TDigest.merge_all(digests, delta)
+    qs = [i / n_shards for i in range(1, n_shards)]
+    return np.array([merged.quantile(q) for q in qs], dtype=np.float64)
+
+
+def write_range_shards(ds, root: str, key: str, n_shards: int,
+                       delta: int = 400) -> list[dict]:
+    """Export ``ds`` as ``n_shards`` manifest partitions, each covering a
+    disjoint range of ``key`` with ~equal row counts. Workers write their
+    shard fragments; the driver finalizes each partition atomically with
+    the covered key range in its lineage."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bounds = key_boundaries(ds, key, n_shards, delta)
+
+    os.makedirs(root, exist_ok=True)
+    tmp = {
+        s: tempfile.mkdtemp(dir=root, prefix=f".shard{s:04d}.tmp")
+        for s in range(n_shards)
+    }
+
+    def route_and_write(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = np.asarray(batch.column(key).to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        shard = np.searchsorted(bounds, keys, side="right")
+        counts = []
+        for s in np.unique(shard):
+            part = batch.take(np.flatnonzero(shard == s))
+            # fragment name = content digest of the slice's key column:
+            # unique per distinct slice, stable across retries (a re-run
+            # of the same batch overwrites its own file, never duplicates)
+            tag = hashlib.blake2b(
+                keys[shard == s].tobytes() + str(part.num_rows).encode(),
+                digest_size=8,
+            ).hexdigest()
+            pq.write_table(part, os.path.join(tmp[int(s)], f"part-{tag}.parquet"))
+            counts.append((int(s), part.num_rows))
+        return pa.table({
+            "shard": pa.array([c[0] for c in counts], pa.int64()),
+            "rows": pa.array([c[1] for c in counts], pa.int64()),
+        })
+
+    stats = ds.map_batches(route_and_write, batch_format="pyarrow").to_pandas()
+    per_shard = stats.groupby("shard")["rows"].sum().to_dict()
+    out = []
+    lo = [-float("inf")] + bounds.tolist()
+    hi = bounds.tolist() + [float("inf")]
+    for s in range(n_shards):
+        rows = int(per_shard.get(s, 0))
+        finalize_partition(
+            root, f"shard{s:04d}", tmp[s], rows,
+            lineage={"key": key, "lo": lo[s], "hi": hi[s]},
+        )
+        out.append({"shard": s, "rows": rows, "lo": lo[s], "hi": hi[s]})
+    return out
