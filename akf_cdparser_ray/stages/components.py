@@ -91,7 +91,10 @@ def connected_components_ds(edges_ds, num_shards: int = 8,
             g = group.groupby("node", sort=True)["label"].min().reset_index()
             return g
 
-        ds = rd.from_pandas([pd.concat([msgs, own], ignore_index=True)])
+        big = pd.concat([msgs, own], ignore_index=True)
+        # one block per shard (from_pandas of one frame = ONE block = no
+        # parallelism; pre-splitting fans the reduce out)
+        ds = rd.from_pandas([g for _s, g in big.groupby("shard", sort=True)])
         out = (
             ds.groupby("shard").map_groups(reduce_shard, batch_format="pandas")
         )
