@@ -713,6 +713,15 @@ def q_hash_split(sf_dir: str):
     return out.sort("split")
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-event-type eval sample: exactly 5 events per type, selected by
+    deterministic key-hash rank (hash-exact vs the SQL window mirror)."""
+    from akf_cdparser_ray.stages.sampling import stratified_sample_k
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    return stratified_sample_k(ds, "event_type", "event_id", k=5)
+
+
 def q_bottomk_sample(sf_dir: str):
     """Uniform 20-doc sample without replacement via mergeable bottom-k
     by key hash (deterministic across runs/partitioning)."""
@@ -787,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "range_shards": q_range_shards,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -844,6 +854,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    count(*) AS n
             FROM b GROUP BY 1 ORDER BY split
+        """,
+        "stratified_sample": """
+            SELECT event_id, event_type FROM (
+                SELECT event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)),
+                                    event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 5
+            ORDER BY event_type, event_id
         """,
         "bottomk_sample": """
             SELECT doc_id FROM documents

@@ -73,6 +73,26 @@ def hash_sample(ds, key: str, rate: float, salt: str = ""):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def stratified_sample_k(ds, group: str, key: str, k: int, salt: str = ""):
+    """Exactly ``k`` rows per group (fewer if the group is smaller),
+    chosen as the group's bottom-k by key hash — a deterministic
+    stratified sample without replacement (per-class eval sets). One
+    group-keyed shuffle; within each group the selection is the same
+    mergeable bottom-k as :func:`bottom_k_sample`. SQL mirror:
+    ``row_number() OVER (PARTITION BY group ORDER BY
+    md5_number_lower(key), key) <= k``."""
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_col(g[key].tolist(), salt)
+        return (
+            g.assign(_h=h)
+            .nsmallest(k, ["_h", key], keep="first")
+            .drop(columns=["_h"])
+        )
+
+    out = ds.groupby(group).map_groups(per_group, batch_format="pandas")
+    return out.sort([group, key])
+
+
 def bottom_k_sample(ds, key: str, k: int, salt: str = ""):
     """Uniform k-sample without replacement: the k rows with the smallest
     key hash (ties impossible modulo md5 collisions; key ascending as the

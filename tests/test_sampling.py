@@ -93,3 +93,29 @@ def test_interval_join_matches_bruteforce():
         if len(m):
             exp[a["anchor_id"]] = len(m)
     assert dict(zip(got["anchor_id"], got["n_points"])) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_k():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sampling import stratified_sample_k
+
+    df = pd.DataFrame({
+        "g": ["a"] * 100 + ["b"] * 100 + ["c"] * 2,
+        "id": np.arange(202, dtype=np.int64),
+    })
+    out = stratified_sample_k(rd.from_pandas([df]), "g", "id", k=5).to_pandas()
+    counts = out["g"].value_counts()
+    assert counts["a"] == 5 and counts["b"] == 5 and counts["c"] == 2
+    # deterministic + partition invariant
+    out2 = stratified_sample_k(
+        rd.from_pandas([df.iloc[i::7].reset_index(drop=True) for i in range(7)]),
+        "g", "id", k=5,
+    ).to_pandas()
+    assert out["id"].tolist() == out2["id"].tolist()
+    # matches explicit bottom-k per group
+    for g in ("a", "b"):
+        ids = df[df["g"] == g]["id"]
+        exp = sorted(ids, key=lambda i: (md5_lower64(i), i))[:5]
+        assert sorted(out[out["g"] == g]["id"]) == sorted(exp)
