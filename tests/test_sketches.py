@@ -128,3 +128,49 @@ def test_vocabulary_partials_combiner():
     assert out.loc["foo", "df"] == 1 and out.loc["foo", "tf"] == 2
     assert out.loc["bar", "df"] == 2 and out.loc["bar", "tf"] == 3
     assert list(out.index) == sorted(out.index)
+
+
+def test_misra_gries_guarantee():
+    from akf_cdparser_ray.stages.sketches import (
+        merge_summaries, misra_gries_partial,
+    )
+
+    rng = np.random.RandomState(13)
+    # skewed stream: 3 heavy values + noise tail
+    stream = (["A"] * 5000 + ["B"] * 3000 + ["C"] * 2000
+              + [f"x{i}" for i in rng.randint(0, 5000, 10_000)])
+    rng.shuffle(stream)
+    k = 32
+    chunks = [stream[i::7] for i in range(7)]
+    merged = merge_summaries([misra_gries_partial(c, k) for c in chunks], k)
+    assert len(merged) <= k
+    bound = len(stream) / (k + 1)
+    for heavy in ("A", "B", "C"):  # all exceed the bound → must survive
+        assert heavy in merged
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_heavy_hitters_both_regimes():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sketches import exact_heavy_hitters
+
+    rng = np.random.RandomState(21)
+    # skewed: sketch path proves completeness
+    skew = pd.DataFrame({"v": (["hot1"] * 4000 + ["hot2"] * 3000
+                               + ["hot3"] * 2000
+                               + [f"t{i}" for i in rng.randint(0, 3000, 6000)])})
+    ds = rd.from_pandas([skew.iloc[i::5].reset_index(drop=True) for i in range(5)])
+    got = exact_heavy_hitters(ds, "v", top_k=3)
+    exact = skew["v"].value_counts()
+    assert got["value"].tolist() == ["hot1", "hot2", "hot3"]
+    assert got["n"].tolist() == [int(exact["hot1"]), int(exact["hot2"]),
+                                 int(exact["hot3"])]
+    # near-uniform: bound unprovable → fallback still returns the exact answer
+    uni = pd.DataFrame({"v": [f"u{i % 500}" for i in range(10_000)]})
+    ds2 = rd.from_pandas([uni.iloc[i::4].reset_index(drop=True) for i in range(4)])
+    got2 = exact_heavy_hitters(ds2, "v", top_k=5, sketch_k=64)
+    exp2 = (uni["v"].value_counts().rename_axis("value").reset_index(name="n")
+            .sort_values(["n", "value"], ascending=[False, True]).head(5))
+    assert got2["value"].tolist() == exp2["value"].tolist()
+    assert got2["n"].tolist() == exp2["n"].tolist()
