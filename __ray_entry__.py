@@ -713,6 +713,16 @@ def q_hash_split(sf_dir: str):
     return out.sort("split")
 
 
+def q_curate(sf_dir: str):
+    """The full curation funnel (quality → exact dedup → near-dup cluster
+    drop → PII scrub → packing) composed end-to-end; one-row summary of
+    per-stage survivor counts + packing stats (rows-only, golden)."""
+    from akf_cdparser_ray.pipelines.curate import curate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(8)
+    return curate(ds)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact top-3 most frequent event types WITHOUT a full-key shuffle:
     Misra-Gries candidates per batch, merged driver-side, then exact
@@ -810,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_shards": q_range_shards,
         "stratified_sample": q_stratified_sample,
         "heavy_hitters": q_heavy_hitters,
+        "curate": q_curate,
     }
 
 

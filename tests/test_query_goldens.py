@@ -32,6 +32,7 @@ GOLDENS = {
     "dedup_clusters": "5d8c1f91b987993c3f07f849f6a8bb22b0ccab796870f60a20bbffa7dbff92d5",
     "pack_sequences": "39713deeee81746adaffb4eb9ef3302b1e8de65b57013b72402374f150946feb",
     "range_shards": "8c464f42715bc393cf4925639f1f6ee56e4425e784c075d8cce4a9b85fa1a3c4",
+    "curate": "bd97ff580d65626d037c6a8678c2bf62f316ea078f0a4b8b01faefe7b34dd5f2",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
