@@ -81,35 +81,42 @@ def headline_pages_per_sec(num_cpus: int, n_pages: int) -> dict:
         cached_parse_batch(), batch_format="pyarrow", batch_size=128, num_cpus=1
     ).count()
 
-    t0 = time.perf_counter()
-    out = (
-        ds.map_batches(
-            cached_fetch_batch(n_pages),
-            batch_format="pyarrow",
-            batch_size=128,
-            num_cpus=1,
-        )
-        .map_batches(
-            cached_parse_batch(),
-            batch_format="pyarrow",
-            batch_size=128,
-            num_cpus=1,
-        )
-        .map_batches(_count_batch, batch_format="pyarrow", num_cpus=1)
-    )  # same num_cpus keeps the whole chain fused into one task per block
-    n_ok = 0
-    n_rows = 0
-    for batch in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        n_rows += sum(batch.column("rows").to_pylist())
-        n_ok += sum(batch.column("ok").to_pylist())
-    elapsed = time.perf_counter() - t0
-    assert n_rows == n_pages, (n_rows, n_pages)
-    return {
-        "seconds": elapsed,
-        "pages": n_pages,
-        "pages_per_sec": n_pages / elapsed,
-        "parse_ok": n_ok,
-    }
+    # best-of-2 against shared-VM noise — EXCEPT under --scaling's
+    # headline-only subprocesses, which already run 3 outer trials each
+    n_trials = 1 if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else 2
+    best = None
+    for _trial in range(n_trials):
+        t0 = time.perf_counter()
+        out = (
+            ds.map_batches(
+                cached_fetch_batch(n_pages),
+                batch_format="pyarrow",
+                batch_size=128,
+                num_cpus=1,
+            )
+            .map_batches(
+                cached_parse_batch(),
+                batch_format="pyarrow",
+                batch_size=128,
+                num_cpus=1,
+            )
+            .map_batches(_count_batch, batch_format="pyarrow", num_cpus=1)
+        )  # same num_cpus keeps the whole chain fused into one task per block
+        n_ok = 0
+        n_rows = 0
+        for batch in out.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            n_rows += sum(batch.column("rows").to_pylist())
+            n_ok += sum(batch.column("ok").to_pylist())
+        elapsed = time.perf_counter() - t0
+        assert n_rows == n_pages, (n_rows, n_pages)
+        if best is None or elapsed < best["seconds"]:
+            best = {
+                "seconds": elapsed,
+                "pages": n_pages,
+                "pages_per_sec": n_pages / elapsed,
+                "parse_ok": n_ok,
+            }
+    return best
 
 
 def _crawl_once(corpus: int, *, warm: bool, **overrides) -> dict:
