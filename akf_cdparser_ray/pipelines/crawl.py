@@ -16,9 +16,11 @@ actor-owned frontier:
 The frontier priority queue and the URL-seen cuckoo page for each hash
 shard live together in one ``FrontierShard`` actor (stages/dedupe.py) — the
 sharded priority queue of the north rule. Per-wave frontier operations are
-warm actor RPCs; the only driver-held frontier data is the ≤ k·S dequeued
-rows per wave (bounded by config, not by data) and per-wave counters. Links
-never reach the driver.
+warm actor RPCs, and dequeued rows NEVER touch the driver either: shards
+hold their top-k and push slices actor→actor to the politeness gates
+(``route_to_gates``); the gates decide, stage their gated slice for
+resume, and hand back object-store block refs. The driver handles only
+host/decision counts, refs, and (priority, url) trace pairs per wave.
 
 SOFTWARE-PIPELINED WAVES (``pipeline_depth``, default 2): wave k+1's
 dequeue + gate + fetch/parse Dataset run concurrently with wave k's —
@@ -32,12 +34,14 @@ A depth-1 (serial) run produces the byte-identical trace/counters/pairs as
 a depth-2 run (tests/test_crawl.py::test_pipeline_depth_equivalent).
 
 Checkpoints are per flushed wave: each shard actor writes its own frontier
-parquet (+ future-bucket sidecar) + filter page (worker-side, parallel);
-the driver writes the politeness states, this wave's counter, this wave's
-trace segment, the in-flight wave's gated candidate table (≤ k·S rows) and
-lineage, then a ``_COMPLETE`` marker last — so a killed job resumes
-exactly: the shard cut is post-dequeue(k+1)/post-flush(k), and the stored
-gated table lets resume re-launch the in-flight wave without re-gating.
+parquet (+ future-bucket sidecar) + filter page (worker-side, parallel),
+and each gate persists its decided slice at decide() time
+(out_dir/gated/waveNNN/gateG.parquet); the driver writes the politeness
+states, this wave's counter, this wave's trace segment, pointers to the
+in-flight wave's staged slices, then a ``_COMPLETE`` marker last — so a
+killed job resumes exactly: the shard cut is post-dequeue(k+1)/
+post-flush(k), and ``gated_slice_to_refs`` over the staged slices
+recreates the in-flight wave's dataset blocks without re-gating.
 Dequeue order is a pure function of (priority, url, wave), so the same
 seeds + budget replay to the identical trace (replay invariant).
 """
