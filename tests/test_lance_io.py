@@ -126,3 +126,22 @@ def test_compact_partitions_distributed(tmp_path, ray_session):
     for key, total in totals.items():
         assert man[key]["rows"] == total
         assert man[key]["lineage"]["compacted_from"] == 4
+
+
+def test_compact_survives_stale_crash_tmpdir(tmp_path):
+    """A compaction killed mid-write leaves a dot-prefixed tmpdir; readers
+    must ignore it and a re-run must compact cleanly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "pairs")
+    total = _fragmented_partition(root, "wave000", 4)
+    # simulate a crashed compaction: half-written tmpdir next to the data
+    stale = os.path.join(root, ".wave000.compactXYZ")
+    os.makedirs(stale)
+    pq.write_table(TBL, os.path.join(stale, "part-00000.parquet"))
+    assert aio.read_partitions(root).num_rows == total  # stale dir ignored
+    stat = aio.compact_partition(root, "wave000", target_rows=1_000)
+    assert stat["files_after"] == 1
+    assert aio.read_partitions(root).num_rows == total
