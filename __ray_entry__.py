@@ -744,6 +744,22 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample_k(ds, "event_type", "event_id", k=5)
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic 10% Bernoulli sample by key hash, rolled up per
+    event type (stateless filter — no RNG, no shuffle of the full set)."""
+    from ray.data.aggregate import Count
+
+    from akf_cdparser_ray.stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    out = (
+        hash_sample(ds, "event_id", rate=0.10)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+    return out.sort("event_type")
+
+
 def q_bottomk_sample(sf_dir: str):
     """Uniform 20-doc sample without replacement via mergeable bottom-k
     by key hash (deterministic across runs/partitioning)."""
@@ -821,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "heavy_hitters": q_heavy_hitters,
         "curate": q_curate,
+        "hash_sample": q_hash_sample,
     }
 
 
@@ -895,6 +912,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE rn <= 5
             ORDER BY event_type, event_id
+        """,
+        "hash_sample": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE md5_number_lower(CAST(event_id AS VARCHAR)) % 10000 < 1000
+            GROUP BY event_type ORDER BY event_type
         """,
         "bottomk_sample": """
             SELECT doc_id FROM documents
