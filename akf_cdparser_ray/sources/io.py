@@ -116,18 +116,45 @@ def finalize_partition(
     return final
 
 
+def _aside_path(root: str, key: str) -> str:
+    """Rename-aside dir used during compaction (dot-prefixed so
+    read_partitions' fragment listing never double-reads it)."""
+    return os.path.join(root, f".{key.replace('/', '_')}.old")
+
+
+def _recover_partition(root: str, key: str) -> None:
+    """Recover from a compaction killed mid-swap. State machine:
+    (a) aside dir exists AND partition dir exists → the compacted dir was
+        promoted; the aside is the superseded fragments — delete it.
+    (b) aside dir exists AND partition dir missing → killed between
+        rename-aside and promote; restore the aside so the partition is
+        whole again (the orphan .compact tmpdir is ignored/re-done).
+    Idempotent; called at the top of compact_partition and by
+    read_partitions when a claimed partition dir is missing."""
+    pdir = os.path.join(root, key)
+    aside = _aside_path(root, key)
+    if os.path.isdir(aside):
+        if os.path.isdir(pdir):
+            shutil.rmtree(aside)
+        else:
+            os.replace(aside, pdir)
+
+
 def compact_partition(root: str, key: str, target_rows: int = 1_000_000,
                       update_manifest: bool = True) -> dict:
     """Rewrite one partition's fragment files into ~target_rows-sized
     files. Kill-safe like every sink here: compacted files land in a
-    tmpdir which atomically replaces the partition dir; a crash at any
-    point leaves either the old fragments or the finished compaction,
-    never a mix. Row count is verified before the swap.
+    tmpdir; the live dir is renamed ASIDE (never deleted first), the
+    tmpdir promoted into place, and only then is the aside removed — so a
+    crash at any point leaves either the old fragments, a recoverable
+    aside (see ``_recover_partition``), or the finished compaction, never
+    a lost partition. Row count is verified before the swap.
 
     ``update_manifest=False`` defers the lineage note to the caller —
     REQUIRED when compactions run in parallel (concurrent read-modify-
     write of _MANIFEST.json would lose updates; ``compact_partitions``
     applies them in one driver-side write)."""
+    _recover_partition(root, key)
     pdir = os.path.join(root, key)
     frags = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
     expect_rows = load_manifest(root)["partitions"][key]["rows"]
@@ -145,11 +172,13 @@ def compact_partition(root: str, key: str, target_rows: int = 1_000_000,
         for i in range(n_files):
             pq.write_table(table.slice(i * step, step),
                            os.path.join(tmpdir, f"part-{i:05d}.parquet"))
-        shutil.rmtree(pdir)
-        os.replace(tmpdir, pdir)
     except Exception:
         shutil.rmtree(tmpdir, ignore_errors=True)
         raise
+    aside = _aside_path(root, key)
+    os.rename(pdir, aside)   # old data stays recoverable from here on
+    os.replace(tmpdir, pdir)
+    shutil.rmtree(aside)
     if update_manifest:
         _note_compactions(root, {key: len(frags)})
     return {"key": key, "files_before": len(frags), "files_after": n_files,
@@ -203,6 +232,10 @@ def read_partitions(root: str) -> pa.Table:
     tables = []
     for key in sorted(manifest["partitions"]):
         pdir = os.path.join(root, key)
+        if not os.path.isdir(pdir):
+            # a compaction may have died mid-swap — restore the aside dir
+            # rather than silently dropping rows the manifest claims
+            _recover_partition(root, key)
         if not os.path.isdir(pdir):
             continue
         for frag in sorted(os.listdir(pdir)):

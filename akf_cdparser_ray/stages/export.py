@@ -59,23 +59,35 @@ def write_range_shards(ds, root: str, key: str, n_shards: int,
         for s in range(n_shards)
     }
 
-    def route_and_write(batch: pa.Table) -> pa.Table:
-        import hashlib
+    # per-process batch sequence, keyed by Ray task id. Fragment names are
+    # (task id, within-task sequence): UNIQUE across distinct batches (two
+    # batches with byte-identical content for a shard — duplicate-heavy or
+    # constant keys — still get distinct names; a content digest did not,
+    # and the later write silently overwrote the earlier fragment), and
+    # STABLE across Ray's process-crash retries (same task id, same batch
+    # order → same names, so the retry overwrites its own partial files,
+    # never duplicates; application exceptions are not retried by default).
+    _task_seq: dict = {}
 
+    def route_and_write(batch: pa.Table) -> pa.Table:
+        import ray
+
+        try:
+            tid = ray.get_runtime_context().get_task_id() or "local"
+        except Exception:
+            tid = "local"
+        seq = _task_seq.get(tid, 0)
+        _task_seq[tid] = seq + 1
         keys = np.asarray(batch.column(key).to_numpy(zero_copy_only=False),
                           dtype=np.float64)
         shard = np.searchsorted(bounds, keys, side="right")
         counts = []
         for s in np.unique(shard):
             part = batch.take(np.flatnonzero(shard == s))
-            # fragment name = content digest of the slice's key column:
-            # unique per distinct slice, stable across retries (a re-run
-            # of the same batch overwrites its own file, never duplicates)
-            tag = hashlib.blake2b(
-                keys[shard == s].tobytes() + str(part.num_rows).encode(),
-                digest_size=8,
-            ).hexdigest()
-            pq.write_table(part, os.path.join(tmp[int(s)], f"part-{tag}.parquet"))
+            # NB: TaskID hex is unique in its PREFIX (the suffix is the
+            # constant actor/job part) — never truncate from the right
+            pq.write_table(part, os.path.join(
+                tmp[int(s)], f"part-{tid[:16]}-{seq:05d}.parquet"))
             counts.append((int(s), part.num_rows))
         return pa.table({
             "shard": pa.array([c[0] for c in counts], pa.int64()),
@@ -89,6 +101,17 @@ def write_range_shards(ds, root: str, key: str, n_shards: int,
     hi = bounds.tolist() + [float("inf")]
     for s in range(n_shards):
         rows = int(per_shard.get(s, 0))
+        # verify the fragments actually on disk against the routed counts
+        # BEFORE the manifest claims them (footer-only metadata reads) —
+        # any naming collision / lost write fails loudly here.
+        actual = sum(
+            pq.read_metadata(os.path.join(tmp[s], f)).num_rows
+            for f in os.listdir(tmp[s]) if f.endswith(".parquet")
+        )
+        if actual != rows:
+            raise RuntimeError(
+                f"range-shard {s}: fragment rows {actual} != routed {rows} "
+                f"(lost or duplicated fragment write)")
         finalize_partition(
             root, f"shard{s:04d}", tmp[s], rows,
             lineage={"key": key, "lo": lo[s], "hi": hi[s]},

@@ -154,7 +154,7 @@ class TDigest:
     @classmethod
     def of(cls, values, delta: int = 200) -> "TDigest":
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        v = v[~np.isnan(v)] + 0.0  # canonicalize -0.0 → +0.0 (see merge_all)
         d = cls(delta)
         if len(v):
             v.sort(kind="stable")
@@ -169,11 +169,16 @@ class TDigest:
         """Order-independent merge: concatenate EVERY input centroid, sort
         once, compress once — a pure function of the multiset of partial
         centroids (sequential pairwise merging would be order-dependent
-        because each intermediate compress is lossy)."""
+        because each intermediate compress is lossy).
+
+        Means are canonicalized (-0.0 → +0.0) before the sort: lexsort
+        treats -0.0 and 0.0 as equal keys, so without canonicalization the
+        tie would resolve by input POSITION and digest(A∪B) vs digest(B∪A)
+        could differ at the byte level (mean -0.0 vs 0.0)."""
         ms = [d.means for d in digests if len(d.means)]
         if not ms:
             return cls(delta)
-        m = np.concatenate(ms)
+        m = np.concatenate(ms) + 0.0
         w = np.concatenate([d.weights for d in digests if len(d.means)])
         order = np.lexsort((w, m))  # mean asc, weight tiebreak → canonical
         means, weights = _compress(m[order], w[order], delta)
@@ -205,7 +210,7 @@ class TDigest:
     def from_bytes(cls, blob: bytes, delta: int = 200) -> "TDigest":
         arr = np.frombuffer(blob, dtype="<f8")
         n = len(arr) // 2
-        return cls(delta, arr[:n].copy(), arr[n:].copy())
+        return cls(delta, arr[:n] + 0.0, arr[n:].copy())
 
 
 def _k1(q: float, delta: int) -> float:
@@ -304,15 +309,27 @@ def merge_summaries(summaries: list[dict], k: int) -> dict:
 
 
 def exact_heavy_hitters(ds, col: str, top_k: int, sketch_k: int | None = None):
-    """EXACT top-k most frequent values with bounded shuffle: pass 1 runs
-    Misra-Gries per batch (constant memory) and merges the tiny summaries
-    driver-side into a candidate set that provably contains every value
-    with frequency > n/(sketch_k+1); pass 2 counts ONLY candidate rows
-    (broadcast membership filter → partial counts → one small groupby).
+    """EXACT top-k most frequent values with bounded shuffle.
+
+    Pass 1: each batch emits a pruned count summary (vectorized
+    ``value_counts`` — an exact per-batch count is a Misra-Gries summary
+    with zero error — decrement-pruned to ``sketch_k`` entries, so each
+    block ships at most sketch_k (value, c) rows plus one unconditional
+    n_rows accounting row). The driver merges by SUMMING per-value counts
+    across all partial rows (groupby-sum — duplicate values across frames
+    must add, never collapse) and prunes ONCE, which preserves the MG
+    guarantee: every value with frequency > n/(sketch_k+1) survives.
+
+    Pass 2 counts ONLY candidate rows (broadcast membership filter →
+    partial counts → one small driver groupby bounded by
+    |candidates| × num_blocks rows).
+
     The result equals a full GROUP BY ... ORDER BY count LIMIT top_k
-    whenever the top_k-th frequency clears the sketch bound — the bound
-    is CHECKED and a full fallback count runs if it doesn't (no silently
-    approximate output; the fallback is logged via the returned flag).
+    whenever the top_k-th frequency clears the sketch bound — the bound is
+    CHECKED, and if it doesn't hold the fallback is a fully DISTRIBUTED
+    Ray ``groupby(col).count()`` + sort + limit (the driver only ever sees
+    top_k rows, never the distinct-value set — no silently approximate
+    output either way).
 
     Returns a pandas DataFrame (value, n) ordered by (n desc, value asc)."""
     import pandas as pd
@@ -320,22 +337,29 @@ def exact_heavy_hitters(ds, col: str, top_k: int, sketch_k: int | None = None):
     sketch_k = sketch_k or max(64, 8 * top_k)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        mg = misra_gries_partial(batch[col].tolist(), sketch_k)
+        vc = batch[col].value_counts(sort=False)
+        mg = merge_summaries([dict(zip(vc.index, vc.to_numpy()))], sketch_k)
+        # n_rows is its own accounting row (value=None) so it is emitted
+        # even when the pruned summary is empty — no undercount of n_total.
         return pd.DataFrame({
-            "value": list(mg.keys()),
-            "c": list(mg.values()),
-            "n_rows": [len(batch)] + [0] * (len(mg) - 1) if mg else [],
+            "value": list(mg.keys()) + [None],
+            "c": [int(c) for c in mg.values()] + [0],
+            "n_rows": [0] * len(mg) + [len(batch)],
         })
 
     parts = ds.map_batches(partial, batch_format="pandas")
-    summaries = []
-    n_total = 0
-    for b in parts.iter_batches(batch_size=4096, batch_format="pandas"):
-        if not len(b.columns):  # empty block from an empty input partition
-            continue
-        n_total += int(b["n_rows"].sum())
-        summaries.append(dict(zip(b["value"], b["c"])))
-    cand = set(merge_summaries(summaries, sketch_k))
+    frames = [
+        b for b in parts.iter_batches(batch_size=None, batch_format="pandas")
+        if len(b.columns)
+    ]
+    n_total = int(sum(f["n_rows"].sum() for f in frames)) if frames else 0
+    if frames:
+        allv = pd.concat([f.loc[f["value"].notna(), ["value", "c"]]
+                          for f in frames], ignore_index=True)
+        merged = allv.groupby("value", sort=False)["c"].sum().to_dict()
+    else:
+        merged = {}
+    cand = set(merge_summaries([merged], sketch_k))
 
     def count_candidates(batch: pd.DataFrame) -> pd.DataFrame:
         sel = batch[batch[col].isin(cand)]
@@ -356,23 +380,15 @@ def exact_heavy_hitters(ds, col: str, top_k: int, sketch_k: int | None = None):
     # soundness check: the sketch only guarantees recall above the bound
     bound = n_total / (sketch_k + 1)
     if len(top) < top_k or (len(top) and top["n"].iloc[-1] <= bound):
-        # cannot prove completeness — run the exact full count
-        full_ds = ds.map_batches(
-            lambda b: b.groupby(col, sort=True).size().reset_index(name="n")
-            .rename(columns={col: "value"}),
-            batch_format="pandas",
-        )
-        ff = [
-            b for b in full_ds.iter_batches(batch_size=None, batch_format="pandas")
-            if len(b.columns)
-        ]
-        full = (
-            pd.concat(ff, ignore_index=True)
-            .groupby("value", sort=True)["n"].sum().reset_index()
-        )
+        # cannot prove completeness — run the exact full count as a
+        # DISTRIBUTED hash aggregate; only top_k rows reach the driver.
+        full = ds.groupby(col).count()
+        full = full.sort(["count()", col], descending=[True, False]).limit(top_k)
+        fdf = full.to_pandas().rename(columns={col: "value", "count()": "n"})
+        fdf["n"] = fdf["n"].astype("int64")
         top = (
-            full.sort_values(["n", "value"], ascending=[False, True],
-                             kind="mergesort")
+            fdf.sort_values(["n", "value"], ascending=[False, True],
+                            kind="mergesort")
             .head(top_k).reset_index(drop=True)
         )
     return top.reset_index(drop=True)

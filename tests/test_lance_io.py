@@ -145,3 +145,47 @@ def test_compact_survives_stale_crash_tmpdir(tmp_path):
     stat = aio.compact_partition(root, "wave000", target_rows=1_000)
     assert stat["files_after"] == 1
     assert aio.read_partitions(root).num_rows == total
+
+
+def test_compact_recovers_mid_swap_crash(tmp_path):
+    """Round-4 ADVICE regression: a compaction killed BETWEEN the
+    rename-aside and the promote (partition dir absent, data in the
+    aside) must not lose the partition — both read_partitions and a
+    compact re-run recover it."""
+    import os
+
+    root = str(tmp_path / "pairs")
+    total = _fragmented_partition(root, "wave000", 4)
+    before = aio.read_partitions(root).sort_by("image_id")
+    pdir = os.path.join(root, "wave000")
+    # simulate the crash window: live dir renamed aside, promote never ran
+    os.rename(pdir, aio._aside_path(root, "wave000"))
+    assert not os.path.isdir(pdir)
+    # reads recover instead of silently dropping manifest-claimed rows
+    assert aio.read_partitions(root).sort_by("image_id").equals(before)
+    assert os.path.isdir(pdir)
+    # and a compact re-run from the same state completes cleanly
+    os.rename(pdir, aio._aside_path(root, "wave000"))
+    stat = aio.compact_partition(root, "wave000", target_rows=1_000)
+    assert stat["files_after"] == 1 and not stat["skipped"]
+    assert aio.read_partitions(root).sort_by("image_id").equals(before)
+    assert aio.read_partitions(root).num_rows == total
+    assert not os.path.isdir(aio._aside_path(root, "wave000"))
+
+
+def test_compact_recovers_post_promote_crash(tmp_path):
+    """Crash AFTER the promote but before the aside cleanup: the aside
+    (superseded fragments) must be discarded, never double-read."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "pairs")
+    total = _fragmented_partition(root, "wave000", 4)
+    before = aio.read_partitions(root).sort_by("image_id")
+    pdir = os.path.join(root, "wave000")
+    shutil.copytree(pdir, aio._aside_path(root, "wave000"))
+    assert aio.read_partitions(root).num_rows == total  # aside not double-read
+    stat = aio.compact_partition(root, "wave000", target_rows=1_000)
+    assert stat["files_after"] == 1
+    assert aio.read_partitions(root).sort_by("image_id").equals(before)
+    assert not os.path.isdir(aio._aside_path(root, "wave000"))

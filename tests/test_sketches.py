@@ -174,3 +174,55 @@ def test_exact_heavy_hitters_both_regimes():
             .sort_values(["n", "value"], ascending=[False, True]).head(5))
     assert got2["value"].tolist() == exp2["value"].tolist()
     assert got2["n"].tolist() == exp2["n"].tolist()
+
+
+def test_tdigest_signed_zero_order_independent():
+    # regression (round-4): lexsort treats -0.0 == 0.0, so without mean
+    # canonicalization the tie resolved by input position and
+    # digest(A∪B) != digest(B∪A) at the byte level.
+    from akf_cdparser_ray.stages.sketches import TDigest
+
+    a, b = TDigest.of([0.0], 100), TDigest.of([-0.0], 100)
+    assert TDigest.merge_all([a, b], 100).to_bytes() == \
+        TDigest.merge_all([b, a], 100).to_bytes()
+    # serialized digests can never carry a -0.0 mean
+    d = TDigest.from_bytes(TDigest.of([-0.0, -0.0, 1.0], 100).to_bytes(), 100)
+    assert not any(np.signbit(m) and m == 0.0 for m in d.means)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_heavy_hitters_value_spread_across_blocks():
+    # regression (round-4 ADVICE): a value heavy only in AGGREGATE — 60
+    # occurrences in each of 40 blocks — must have its per-block partial
+    # counts SUMMED at the driver merge, not dict-collapsed to the last
+    # frame's count (which voided the MG bound and could prune true
+    # heavy hitters while still "certifying" the result).
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sketches import exact_heavy_hitters
+
+    rng = np.random.RandomState(7)
+    blocks = []
+    for i in range(40):
+        tail = [f"t{i}_{j}" for j in rng.randint(0, 400, 340)]
+        blocks.append(pd.DataFrame({"v": ["HOT"] * 60 + tail}))
+    ds = rd.from_pandas(blocks)
+    got = exact_heavy_hitters(ds, "v", top_k=1, sketch_k=64)
+    assert got["value"].tolist() == ["HOT"]
+    assert got["n"].tolist() == [2400]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_heavy_hitters_high_cardinality_fallback():
+    # high-cardinality column: bound unprovable → DISTRIBUTED fallback
+    # (Ray groupby + sort + limit); driver only ever sees top_k rows.
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sketches import exact_heavy_hitters
+
+    df = pd.DataFrame({"v": [f"k{i}" for i in range(20_000)] * 2
+                       + ["dominant"] * 3})
+    ds = rd.from_pandas([df.iloc[i::8].reset_index(drop=True) for i in range(8)])
+    got = exact_heavy_hitters(ds, "v", top_k=2, sketch_k=32)
+    assert got["value"].iloc[0] == "dominant" and got["n"].iloc[0] == 3
+    assert got["n"].iloc[1] == 2 and got["value"].iloc[1] == "k0"
