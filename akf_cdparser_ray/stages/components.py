@@ -57,56 +57,144 @@ def connected_components(edges_df: pd.DataFrame, num_shards: int = 8,
 
 
 def connected_components_ds(edges_ds, num_shards: int = 8,
-                            max_rounds: int = 50) -> pd.DataFrame:
-    """Dataset-native hash-min rounds: edges shuffle once (both endpoint
-    orientations, sharded by destination node), then each round unions the
-    current (node, label) table against the static edge shards and
-    min-reduces per node inside ``map_groups``. Use when the NODE table
-    itself is too large for one worker; for dedup-cluster resolution the
-    pandas kernel above is the fast path."""
+                            max_rounds: int = 50):
+    """Dataset-native hash-min rounds for when the NODE table itself is
+    too large for one worker (for dedup-cluster resolution the pandas
+    kernel above is the fast path).
+
+    Scale shape — the driver never holds an edge, a node, or a label:
+
+    - Edges partition ONCE: both orientations (dst, src) shard by
+      ``src % num_shards``; one extract task per shard pins its slice in
+      the object store and the driver keeps only the ObjectRefs.
+    - (node, label) lives as a Dataset between rounds, materialized in
+      the object store (distributed blocks, not driver memory).
+    - Each round is one BSP superstep expressed as two co-partitioned
+      ``groupby(shard).map_groups`` hops (the interval-join pattern):
+      hop 1 joins a shard's labels against its static edge slice
+      (fetched by ref inside the UDF — never re-shuffled) and emits
+      min-messages addressed to ``dst % num_shards``; hop 2 min-reduces
+      messages against the shard's own labels and flags changes.
+    - The driver sees ONE scalar per round (``Dataset.sum("changed")``).
+
+    Converges in O(component diameter) rounds (no pointer jumping in the
+    distributed variant — dedup clusters are shallow; a diameter above
+    ``max_rounds`` raises instead of returning a wrong fixpoint).
+    Deterministic: min is commutative/associative, so block layout and
+    arrival order cannot change the result.
+
+    Returns a Dataset of (node, component).
+    """
+    import ray
     import ray.data as rd
 
-    edges = edges_ds.to_pandas() if hasattr(edges_ds, "to_pandas") else edges_ds
-    a = edges["a"].to_numpy(dtype=np.int64)
-    b = edges["b"].to_numpy(dtype=np.int64)
-    # both orientations: (dst, src) — label flows src → dst
-    dst = np.concatenate([a, b])
-    src = np.concatenate([b, a])
-    oriented = pd.DataFrame({"dst": dst, "src": src})
-    nodes = np.unique(dst)
-    labels = pd.DataFrame({"node": nodes, "label": nodes})
+    if isinstance(edges_ds, pd.DataFrame):
+        edges_ds = rd.from_pandas([
+            g.reset_index(drop=True)
+            for _, g in edges_ds.groupby(
+                edges_ds["a"].to_numpy() % max(1, num_shards), sort=True)
+        ]) if len(edges_ds) else rd.from_pandas(edges_ds)
+
+    def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "dst": np.concatenate([a, b]),
+            "src": np.concatenate([b, a]),
+        })
+
+    oriented = edges_ds.map_batches(orient, batch_format="pandas").materialize()
+    block_refs = oriented.to_arrow_refs()
+
+    @ray.remote
+    def extract_shard(s: int, *blocks):
+        frames = [bl.to_pandas() for bl in blocks if bl.num_rows]
+        if not frames:
+            return pd.DataFrame({"dst": pd.Series(dtype=np.int64),
+                                 "src": pd.Series(dtype=np.int64)})
+        df = pd.concat(frames, ignore_index=True)
+        return df[df["src"].to_numpy() % num_shards == s].reset_index(drop=True)
+
+    # one-time edge exchange: per-shard slices pinned in the object store
+    edge_refs = {s: extract_shard.remote(s, *block_refs)
+                 for s in range(num_shards)}
+
+    def init_labels(batch: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(batch["dst"].to_numpy())
+        return pd.DataFrame({"node": u, "label": u,
+                             "shard": u % num_shards})
+
+    def dedupe_shard(group: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in group.columns or not len(group):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("node", "label", "shard")})
+        return group.drop_duplicates("node").reset_index(drop=True)
+
+    labels = (
+        oriented.map_batches(init_labels, batch_format="pandas")
+        .groupby("shard").map_groups(dedupe_shard, batch_format="pandas")
+        .materialize()
+    )
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        """Hop 1: this shard's labels × its static edge slice → messages."""
+        empty = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                              "label": pd.Series(dtype=np.int64),
+                              "kind": pd.Series(dtype=np.int64),
+                              "shard": pd.Series(dtype=np.int64)})
+        if "node" not in group.columns or not len(group):
+            return empty
+        s = int(group["shard"].iloc[0])
+        eds = ray.get(edge_refs[s])  # zero-copy from the object store
+        own = pd.DataFrame({
+            "node": group["node"].to_numpy(),
+            "label": group["label"].to_numpy(),
+            "kind": np.ones(len(group), dtype=np.int64),
+            "shard": group["shard"].to_numpy(),
+        })
+        if not len(eds):
+            return own
+        lut = pd.Series(group["label"].to_numpy(),
+                        index=group["node"].to_numpy())
+        dst = eds["dst"].to_numpy()
+        msgs = pd.DataFrame({
+            "node": dst,
+            "label": lut.loc[eds["src"].to_numpy()].to_numpy(),
+            "kind": np.zeros(len(eds), dtype=np.int64),
+            "shard": dst % num_shards,
+        })
+        return pd.concat([own, msgs], ignore_index=True)
+
+    def min_reduce(group: pd.DataFrame) -> pd.DataFrame:
+        """Hop 2: per-node min over (own label ∪ incoming messages)."""
+        if "node" not in group.columns or not len(group):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("node", "label", "shard", "changed")})
+        newl = group.groupby("node", sort=True)["label"].min()
+        own = (group[group["kind"] == 1].set_index("node")["label"]
+               .reindex(newl.index))
+        return pd.DataFrame({
+            "node": newl.index.to_numpy(),
+            "label": newl.to_numpy(),
+            "shard": newl.index.to_numpy() % num_shards,
+            "changed": (newl.to_numpy() != own.to_numpy()).astype(np.int64),
+        })
 
     for _round in range(max_rounds):
-        lookup = labels.set_index("node")["label"]
-        msgs = pd.DataFrame({
-            "node": oriented["dst"].to_numpy(),
-            "label": lookup.loc[oriented["src"]].to_numpy(),
-            "shard": (oriented["dst"].to_numpy() % num_shards),
-        })
-        own = pd.DataFrame({
-            "node": labels["node"], "label": labels["label"],
-            "shard": labels["node"].to_numpy() % num_shards,
-        })
-        def reduce_shard(group: pd.DataFrame) -> pd.DataFrame:
-            g = group.groupby("node", sort=True)["label"].min().reset_index()
-            return g
-
-        big = pd.concat([msgs, own], ignore_index=True)
-        # one block per shard (from_pandas of one frame = ONE block = no
-        # parallelism; pre-splitting fans the reduce out)
-        ds = rd.from_pandas([g for _s, g in big.groupby("shard", sort=True)])
-        out = (
-            ds.groupby("shard").map_groups(reduce_shard, batch_format="pandas")
+        stepped = (
+            labels.groupby("shard").map_groups(propagate, batch_format="pandas")
+            .groupby("shard").map_groups(min_reduce, batch_format="pandas")
+            .materialize()
         )
-        frames = [f for f in out.iter_batches(batch_size=None, batch_format="pandas")
-                  if len(f.columns)]
-        new_labels = pd.concat(frames, ignore_index=True).sort_values("node")
-        changed = int((new_labels["label"].to_numpy()
-                       != labels.sort_values("node")["label"].to_numpy()).sum())
-        labels = new_labels.reset_index(drop=True)
+        changed = int(stepped.sum("changed") or 0)
+        labels = stepped.drop_columns(["changed"])
         if changed == 0:
-            break
-    return labels.rename(columns={"label": "component"}).reset_index(drop=True)
+            return (labels.drop_columns(["shard"])
+                    .map_batches(lambda b: b.rename(columns={"label": "component"}),
+                                 batch_format="pandas"))
+    raise RuntimeError(
+        f"connected_components_ds did not converge in {max_rounds} rounds "
+        f"(component diameter exceeds max_rounds — raise max_rounds)")
 
 
 def dedup_keep_set(edges_df: pd.DataFrame) -> pd.DataFrame:

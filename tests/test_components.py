@@ -57,9 +57,53 @@ def test_dataset_variant_matches_pandas_kernel():
     b = rng.randint(0, 120, 150)
     edges = pd.DataFrame({"a": a, "b": b})
     fast = connected_components(edges).sort_values("node").reset_index(drop=True)
-    dist = connected_components_ds(edges).sort_values("node").reset_index(drop=True)
+    dist = (connected_components_ds(edges).to_pandas()
+            .sort_values("node").reset_index(drop=True))
     assert fast["node"].tolist() == dist["node"].tolist()
     assert fast["component"].tolist() == dist["component"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dataset_variant_never_materializes_on_driver(monkeypatch):
+    """Round-4 VERDICT regression: the Dataset variant must run its rounds
+    without EVER pulling edges or the label table to the driver — every
+    driver-side materialization API is poisoned for the duration of the
+    call, and the graph (star forest + a chain) still resolves."""
+    import ray.data as rd
+
+    n = 4000
+    hubs = np.repeat(np.arange(0, n, 40), 39)            # stars
+    spokes = np.concatenate([h + 1 + np.arange(39) for h in range(0, n, 40)])
+    chain_a = np.arange(n, n + 9)                        # 10-node chain
+    chain_b = np.arange(n + 1, n + 10)
+    edges = pd.DataFrame({
+        "a": np.concatenate([hubs, chain_a]).astype(np.int64),
+        "b": np.concatenate([spokes, chain_b]).astype(np.int64),
+    })
+    exp = _union_find(edges["a"], edges["b"])
+    eds = rd.from_pandas([edges.iloc[i::8].reset_index(drop=True)
+                          for i in range(8)])
+
+    # Row-budget poison: Dataset.sum legitimately pulls its ONE aggregate
+    # row (via iter_rows) — scalars are exactly what the driver may see.
+    # Any pull of more than 64 rows is a driver materialization and fails.
+    def _poisoned(name, orig):
+        def guard(self, *a, **k):
+            if self.count() > 64:
+                raise AssertionError(
+                    f"driver-side Dataset.{name}() on {self.count()} rows "
+                    "inside connected_components_ds")
+            return orig(self, *a, **k)
+        return guard
+
+    for api in ("to_pandas", "take_all", "take", "iter_rows"):
+        monkeypatch.setattr(rd.Dataset, api,
+                            _poisoned(api, getattr(rd.Dataset, api)))
+    out_ds = connected_components_ds(eds, num_shards=4, max_rounds=50)
+    monkeypatch.undo()
+    got = out_ds.to_pandas().sort_values("node").reset_index(drop=True)
+    assert {int(r["node"]): int(r["component"])
+            for _i, r in got.iterrows()} == exp
 
 
 def test_dedup_keep_set():
