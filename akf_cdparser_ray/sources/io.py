@@ -227,6 +227,43 @@ def compact_partitions(root: str, target_rows: int = 1_000_000):
     return stats
 
 
+def spill_dataset(ds, out_dir: str):
+    """Deterministic block-preserving disk spill for multi-consumer
+    pipeline stages: each block is written by its worker to one parquet
+    file, the driver renames the files into dataset order (paths only —
+    no rows), and the re-read maps one file back to one block. Row order
+    AND block boundaries are reproduced exactly, so batch-layout-sensitive
+    consumers (FFD packing) see the identical stream, and each re-read
+    costs a disk scan instead of pinning the stage's full output in the
+    object store per extra consumer (``materialize()``) or re-executing
+    the upstream pipeline (lazy re-consumption).
+
+    Returns ``(dataset, row_count)`` — the count is free (spill metadata),
+    saving the separate ``.count()`` consumption."""
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        fd, path = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+        os.close(fd)
+        pq.write_table(batch, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+    meta = ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    paths, total = [], 0
+    for i, m in enumerate(meta):
+        final = os.path.join(out_dir, f"block-{i:06d}.parquet")
+        os.replace(m["path"], final)
+        paths.append(final)
+        total += int(m["rows"])
+    if not paths:
+        return ds, 0
+    return rd.read_parquet(paths, override_num_blocks=len(paths)), total
+
+
 def read_partitions(root: str) -> pa.Table:
     manifest = load_manifest(root)
     tables = []

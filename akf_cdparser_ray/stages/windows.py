@@ -107,6 +107,75 @@ def anti_join_new_users(events_ds, known_keys) -> pd.DataFrame:
     return out.drop_duplicates().sort_values("user_id").reset_index(drop=True)
 
 
+def build_id_shards(ids_ds, key: str, num_shards: int) -> dict:
+    """Hash-partition an integer id column into SORTED per-shard numpy
+    arrays pinned in the object store. The driver holds only the
+    ObjectRefs — never an id set — and each extract task runs remotely
+    over the dataset's block refs (the one-time exchange; same pattern as
+    the components edge partitioning). Workers later ``ray.get`` a shard
+    zero-copy from plasma (one shared mapping per node, not a per-task
+    Python-set copy)."""
+    import numpy as np
+
+    refs = ids_ds.to_arrow_refs()
+
+    @ray.remote
+    def extract(s: int, *blocks):
+        parts = []
+        for bl in blocks:
+            if bl.num_rows and key in bl.schema.names:
+                parts.append(
+                    bl.column(key).to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False))
+        if not parts:
+            return np.empty(0, np.int64)
+        ids = np.concatenate(parts)
+        return np.unique(ids[ids % num_shards == s])
+
+    return {s: extract.remote(s, *refs) for s in range(num_shards)}
+
+
+def anti_join_ids(left_ds, ids_ds, key: str = "doc_id",
+                  num_shards: int = 16):
+    """Distributed anti-join against an id list that PRESERVES the left
+    side's layout (row order AND block boundaries — required upstream of
+    batch-layout-sensitive consumers like FFD packing).
+
+    The right side — possibly a large fraction of the corpus, e.g. a
+    web-dedup drop list — is hash-partitioned into sorted object-store
+    arrays (``build_id_shards``); the left streams through a stateless
+    ``map_batches`` probing each shard with ``searchsorted``. No shuffle
+    of the left (a groupby-based anti-join would reorder it and move the
+    full text payload all-to-all for what is an id-membership test), no
+    driver id set, no per-task set copy: 8 bytes/id shared per node via
+    plasma, spillable.
+
+    ``ids_ds``: a Dataset with column ``key``, or a prebuilt shard dict
+    from :func:`build_id_shards`."""
+    import numpy as np
+
+    shards = (ids_ds if isinstance(ids_ds, dict)
+              else build_id_shards(ids_ds, key, num_shards))
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        if key not in batch.columns or not len(batch):
+            return batch
+        ids = batch[key].to_numpy(dtype=np.int64)
+        keep = np.ones(len(ids), dtype=bool)
+        mod = ids % num_shards
+        for s in np.unique(mod):
+            arr = ray.get(shards[int(s)])  # zero-copy plasma read
+            if not len(arr):
+                continue
+            sel = np.flatnonzero(mod == s)
+            pos = np.clip(np.searchsorted(arr, ids[sel]), 0, len(arr) - 1)
+            keep[sel[arr[pos] == ids[sel]]] = False
+        return batch[keep]
+
+    return left_ds.map_batches(probe, batch_format="pandas",
+                               batch_size=None)
+
+
 def asof_join_partitioned(events_ds, orders_ds, num_shards: int = 8) -> pd.DataFrame:
     """Range/key-partitioned as-of join — the 100-TB path when the right
     side does NOT fit in memory: both sides shuffle once on
