@@ -33,7 +33,11 @@ def md5_lower64(value) -> int:
     return int.from_bytes(digest[8:], "little")
 
 
-def _hash_col(values, salt: str = "") -> np.ndarray:
+def _hash_col_md5(values, salt: str = "") -> np.ndarray:
+    """Oracle mode: per-row md5 (== DuckDB md5_number_lower, hash-exact
+    SQL oracles). The per-row Python loop is the price of that oracle —
+    it is the right gate at test scale, and the wrong hot path at 1e9+
+    rows (use ``fast`` mode there)."""
     out = np.empty(len(values), dtype=np.uint64)
     enc = salt.encode("utf-8")
     for i, v in enumerate(values):
@@ -42,8 +46,32 @@ def _hash_col(values, salt: str = "") -> np.ndarray:
     return out
 
 
+def _hash_col_fast(values, salt: str = "") -> np.ndarray:
+    """Production mode: vectorized 64-bit hash (``pd.util.hash_array``,
+    fixed key — stable across runs, processes and cluster sizes); the
+    salt folds in as an XOR constant, preserving uniformity. Same
+    determinism/resume contract as md5 mode, NOT DuckDB-reproducible —
+    keep md5 mode wherever an SQL oracle must replay the exact buckets."""
+    idx = pd.Index(values)
+    if idx.dtype.kind in "iuf":
+        h = pd.util.hash_array(idx.to_numpy())
+    else:
+        h = pd.util.hash_array(idx.astype(str).to_numpy(dtype=object),
+                               categorize=False)
+    if salt:
+        h = h ^ np.uint64(md5_lower64(salt))
+    return h.astype(np.uint64, copy=False)
+
+
+_HASHERS = {"md5": _hash_col_md5, "fast": _hash_col_fast}
+
+
+def _hash_col(values, salt: str = "", hash_mode: str = "md5") -> np.ndarray:
+    return _HASHERS[hash_mode](values, salt)
+
+
 def split_assign(ds, key: str, ratios: dict[str, float] | None = None,
-                 salt: str = ""):
+                 salt: str = "", hash_mode: str = "md5"):
     """Add a ``split`` column: named splits by cumulative hash-bucket
     ranges over md5_lower64(key) % 10000 (row order / partitioning never
     matter; same key + salt → same split, forever)."""
@@ -53,7 +81,8 @@ def split_assign(ds, key: str, ratios: dict[str, float] | None = None,
     bounds = np.cumsum([ratios[n] for n in names]) * _BUCKETS
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        buckets = _hash_col(batch[key].tolist(), salt) % np.uint64(_BUCKETS)
+        buckets = (_hash_col(batch[key].tolist(), salt, hash_mode)
+                   % np.uint64(_BUCKETS))
         idx = np.searchsorted(bounds, buckets, side="right")
         batch["split"] = [names[i] for i in np.minimum(idx, len(names) - 1)]
         return batch
@@ -61,19 +90,22 @@ def split_assign(ds, key: str, ratios: dict[str, float] | None = None,
     return ds.map_batches(assign, batch_format="pandas")
 
 
-def hash_sample(ds, key: str, rate: float, salt: str = ""):
+def hash_sample(ds, key: str, rate: float, salt: str = "",
+                hash_mode: str = "md5"):
     """Deterministic Bernoulli sample: keep rows whose hash bucket falls
     under ``rate`` — a stateless filter (no shuffle, no RNG)."""
     threshold = np.uint64(int(rate * _BUCKETS))
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
-        buckets = _hash_col(batch[key].tolist(), salt) % np.uint64(_BUCKETS)
+        buckets = (_hash_col(batch[key].tolist(), salt, hash_mode)
+                   % np.uint64(_BUCKETS))
         return batch[buckets < threshold]
 
     return ds.map_batches(keep, batch_format="pandas")
 
 
-def stratified_sample_k(ds, group: str, key: str, k: int, salt: str = ""):
+def stratified_sample_k(ds, group: str, key: str, k: int, salt: str = "",
+                        hash_mode: str = "md5"):
     """Exactly ``k`` rows per group (fewer if the group is smaller),
     chosen as the group's bottom-k by key hash — a deterministic
     stratified sample without replacement (per-class eval sets). One
@@ -82,7 +114,7 @@ def stratified_sample_k(ds, group: str, key: str, k: int, salt: str = ""):
     ``row_number() OVER (PARTITION BY group ORDER BY
     md5_number_lower(key), key) <= k``."""
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        h = _hash_col(g[key].tolist(), salt)
+        h = _hash_col(g[key].tolist(), salt, hash_mode)
         return (
             g.assign(_h=h)
             .nsmallest(k, ["_h", key], keep="first")
@@ -93,14 +125,15 @@ def stratified_sample_k(ds, group: str, key: str, k: int, salt: str = ""):
     return out.sort([group, key])
 
 
-def bottom_k_sample(ds, key: str, k: int, salt: str = ""):
+def bottom_k_sample(ds, key: str, k: int, salt: str = "",
+                    hash_mode: str = "md5"):
     """Uniform k-sample without replacement: the k rows with the smallest
     key hash (ties impossible modulo md5 collisions; key ascending as the
     formal tiebreak). Mergeable reservoir shape: each block reduces to its
     own bottom-k, the driver merges k·num_blocks candidate rows — the
     payload never concentrates anywhere."""
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        h = _hash_col(batch[key].tolist(), salt)
+        h = _hash_col(batch[key].tolist(), salt, hash_mode)
         batch = batch.assign(_h=h)
         return batch.nsmallest(k, ["_h", key], keep="first")
 

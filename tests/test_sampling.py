@@ -119,3 +119,44 @@ def test_stratified_sample_k():
         ids = df[df["g"] == g]["id"]
         exp = sorted(ids, key=lambda i: (md5_lower64(i), i))[:5]
         assert sorted(out[out["g"] == g]["id"]) == sorted(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fast_hash_mode_semantics():
+    """Round-4: hash_mode="fast" (vectorized pd.util.hash_array) keeps
+    the split SEMANTICS of md5 mode — deterministic, layout-independent,
+    resume-stable, ratio-respecting — without the per-row md5 loop.
+    Oracled queries pin md5 mode; fast mode is the 1e9+-row hot path."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sampling import hash_sample, split_assign
+
+    df = pd.DataFrame({"doc_id": np.arange(20_000, dtype=np.int64)})
+
+    def run(blocks):
+        ds = rd.from_pandas(blocks)
+        out = split_assign(ds, "doc_id", hash_mode="fast").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a = run([df.iloc[i::4].reset_index(drop=True) for i in range(4)])
+    b = run([df.iloc[i::7].reset_index(drop=True) for i in range(7)])
+    # determinism + partitioning-independence: identical assignment
+    assert a.equals(b)
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # salt changes the assignment; same salt reproduces it
+    s1 = split_assign(rd.from_pandas(df), "doc_id", salt="x",
+                      hash_mode="fast").to_pandas()
+    s2 = split_assign(rd.from_pandas(df), "doc_id", salt="x",
+                      hash_mode="fast").to_pandas()
+    assert s1.equals(s2) and not s1["split"].equals(a["split"])
+    # Bernoulli rate holds and is a subset-stable filter
+    kept = hash_sample(rd.from_pandas(df), "doc_id", 0.25,
+                       hash_mode="fast").to_pandas()
+    assert abs(len(kept) / len(df) - 0.25) < 0.02
+    kept_half = hash_sample(rd.from_pandas(df.iloc[:10_000]), "doc_id",
+                            0.25, hash_mode="fast").to_pandas()
+    assert set(kept_half["doc_id"]) == {
+        d for d in kept["doc_id"] if d < 10_000}

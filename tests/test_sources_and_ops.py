@@ -182,3 +182,52 @@ def test_av_ops_stages():
     assert len(frames) == 4 * 3  # 12 frames sampled every 4th
     assert set(frames["frame_idx"]) == {0, 4, 8}
     assert (frames["w"] == 32).all() and (frames["mean_luma"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_html_tree_order_vs_reference_walk(tmp_path):
+    """Round-4 pin (VERDICT #7): the engine's listing order is
+    sorted-FULL-PATH (ray read_binary_files); the reference's walk()
+    (bin/akf-html2json:143-154) is depth-first with per-directory readdir
+    order. The two orders agree on flat trees and DIVERGE when a
+    directory name collides with a file-name prefix ('.' sorts before
+    '/'): the reference descends into dir 'a' before emitting 'a.html',
+    the engine emits 'a.html' first. Both are pinned here; checkfile
+    accumulation uses the engine's sorted order as the documented
+    canonical total order (cli.py) — same SET of pages, per-page content
+    byte-identical, concatenation order documented."""
+    import os
+
+    from akf_cdparser_ray.sources.dirsource import read_html_tree
+
+    root = tmp_path / "tree"
+    for rel in ("b.html", "a/x.html", "a/y.html", "a.html",
+                "c/d/deep.html", "c.html"):
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(f"<html>{rel}</html>")
+
+    def reference_walk(d):
+        """Python mirror of the reference's recursive readdirSync walk
+        (sorted for filesystem determinism — Node readdirSync order is
+        OS-dependent; sorted is the reproducible interpretation)."""
+        out = []
+        for name in sorted(os.listdir(d)):
+            f = os.path.join(d, name)
+            if os.path.isdir(f):
+                out.extend(reference_walk(f))
+            else:
+                out.append(f)
+        return out
+
+    ref_order = [os.path.relpath(p, root) for p in reference_walk(str(root))]
+    assert ref_order == ["a/x.html", "a/y.html", "a.html", "b.html",
+                         "c/d/deep.html", "c.html"]
+
+    got = read_html_tree(str(root)).to_pandas()["relpath"].tolist()
+    assert got == ["a.html", "a/x.html", "a/y.html", "b.html",
+                   "c.html", "c/d/deep.html"]       # sorted full path
+    assert set(got) == set(ref_order)               # same page set
+    # the documented divergence: dir 'a' vs file 'a.html'
+    assert got.index("a.html") < got.index("a/x.html")
+    assert ref_order.index("a/x.html") < ref_order.index("a.html")
