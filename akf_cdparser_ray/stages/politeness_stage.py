@@ -88,19 +88,48 @@ class PolitenessShard:
 
     def _decide_rows(self, hosts: list[str], urls: list[str], wave: int,
                      salts: dict) -> list[str]:
-        decisions = []
+        import pandas as pd
+
+        df = pd.DataFrame({"host": hosts, "url_canon": urls})
+        return list(self._decide_frame(df, wave, salts))
+
+    def _decide_frame(self, df, wave: int, salts: dict):
+        """Vectorized gate decision over a (host, url_canon) frame —
+        decision-identical to the old per-row loop (replay traces pinned):
+
+        - per host group (order within a group == frame order), paths are
+          split off with one C-level str op and robots-checked via the
+          vectorized ``allowed_many`` (same verdicts as scalar
+          ``allowed``, test-pinned);
+        - the row loop's sequential ``try_take`` per robots-allowed row
+          equals a bulk take: the first ``min(tokens, k)`` allowed-by-
+          robots rows in order get 'allow', the rest 'defer';
+        - buckets are created lazily exactly like the loop did (only when
+          a host has at least one robots-allowed row), so checkpoint
+          serialize() payloads are unchanged;
+        - refill is idempotent per wave, so one refill per host group
+          equals the loop's per-row refills."""
+        import numpy as np
+
+        n = len(df)
+        decisions = np.empty(n, dtype=object)
+        if not n:
+            return decisions
         rules_for = self.state.rules_for
         bucket_for = self.state.bucket_for
-        for host, url in zip(hosts, urls):
-            n_salts = salts.get(host, 1)
+        df = df.reset_index(drop=True)
+        for host, g in df.groupby("host", sort=False):
             rules = rules_for(host)
-            path = url.split(host, 1)[-1] or "/"
-            if not rules.allowed(path):
-                decisions.append("robots")
-                continue
-            bucket = bucket_for(host, n_salts)
-            bucket.refill(wave)
-            decisions.append("allow" if bucket.try_take() else "defer")
+            paths = g["url_canon"].str.split(host, n=1, regex=False).str[-1]
+            ok = np.asarray(rules.allowed_many(paths), dtype=bool)
+            dec = np.where(ok, "defer", "robots").astype(object)
+            if ok.any():
+                bucket = bucket_for(host, salts.get(host, 1))
+                bucket.refill(wave)
+                take = min(int(bucket.tokens), int(ok.sum()))
+                bucket.tokens -= take
+                dec[np.flatnonzero(ok)[:take]] = "allow"
+            decisions[g.index.to_numpy()] = dec
         return decisions
 
     def gate(self, hosts: list[str], urls: list[str], wave: int,
@@ -148,9 +177,9 @@ class PolitenessShard:
         df = df.sort_values(
             ["priority", "url_canon"], ascending=[False, True]
         ).reset_index(drop=True)
-        df["decision"] = self._decide_rows(
-            df["host"].tolist(), df["url_canon"].tolist(), wave, salts
-        ) if len(df) else pd.Series(dtype=str)
+        df["decision"] = (self._decide_frame(df[["host", "url_canon"]], wave,
+                                             salts)
+                          if len(df) else pd.Series(dtype=str))
         if staging_path is not None:
             import pyarrow as pa
             import pyarrow.parquet as pq

@@ -57,6 +57,10 @@ class RobotsRules:
     def allowed(self, path: str) -> bool:
         return self._robots.allowed(path, self._agent)
 
+    def allowed_many(self, paths):
+        """Vectorized ``allowed`` (same verdicts; see RobotsTxt)."""
+        return self._robots.allowed_many(paths, self._agent)
+
     def crawl_delay(self) -> float | None:
         return self._robots.crawl_delay(self._agent)
 

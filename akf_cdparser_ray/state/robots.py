@@ -159,6 +159,42 @@ class RobotsTxt:
                 verdict, best_len = rule.allow, rule.length
         return verdict
 
+    def allowed_many(self, paths, agent: str = "*"):
+        """Vectorized ``allowed`` over an array-like of paths — verdicts
+        byte-identical to the scalar evaluator (test-pinned). One pandas
+        C-level string op per RULE over the whole path array (plain
+        prefixes use ``str.startswith``; ``*``/``$`` patterns the
+        compiled regex via ``str.match``); the longest-match / Allow-tie
+        precedence is the same sequential update the scalar loop runs,
+        expressed per-path with numpy where-masks. The gate evaluates
+        thousands of paths against a handful of rules per wave — this
+        turns its per-row Python loop into len(rules) vector ops."""
+        import numpy as np
+        import pandas as pd
+
+        group = self._group_for(agent)
+        n = len(paths)
+        if group is None or not group.rules:
+            return np.ones(n, dtype=bool)
+        s = pd.Series(paths, dtype=object)
+        s = s.where(~s.isna() & (s != ""), "/")
+        pct = s.str.contains("%", regex=False).to_numpy()
+        if pct.any():
+            s = s.copy()
+            s[pct] = s[pct].map(_norm)
+        verdict = np.ones(n, dtype=bool)
+        best_len = np.full(n, -1, dtype=np.int64)
+        for rule in group.rules:
+            if "*" in rule.pattern or rule.pattern.endswith("$"):
+                m = s.str.match(rule.regex).to_numpy(dtype=bool)
+            else:
+                m = s.str.startswith(rule.pattern).to_numpy(dtype=bool)
+            upd = m & ((rule.length > best_len)
+                       | ((rule.length == best_len) & rule.allow & ~verdict))
+            verdict = np.where(upd, rule.allow, verdict)
+            best_len = np.where(upd, rule.length, best_len)
+        return verdict
+
     def crawl_delay(self, agent: str = "*") -> float | None:
         group = self._group_for(agent)
         return group.crawl_delay if group is not None else None

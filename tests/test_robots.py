@@ -122,3 +122,90 @@ def test_crawl_delay_derives_politeness_budget():
     assert st.bucket_for("glacial.example").per_wave == 1   # floor at 1
     assert st.bucket_for("plain.example").per_wave == DEFAULT_BUDGET["per_wave"]
     assert st.bucket_for("fast.example").per_wave == 99     # explicit wins
+
+
+def test_allowed_many_matches_scalar():
+    """Round-4 pin: the vectorized evaluator must give byte-identical
+    verdicts to scalar allowed() — RFC examples, wildcards, anchors,
+    percent-encoding, Allow-tie, empty paths, and the synthetic fixture."""
+    import numpy as np
+
+    from akf_cdparser_ray.state.politeness import synth_robots_txt
+
+    texts = [
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n",
+        ("User-agent: *\nDisallow: /*.gif$\nAllow: /gallery/\n"
+         "Disallow: /tmp*\nDisallow: /a%3cd.html\n"),
+        "User-agent: x\nDisallow: /\nUser-agent: *\nAllow: /\n",
+        "",  # no rules
+        synth_robots_txt("www.host3.example"),
+    ]
+    paths = ["/", "", "/private/", "/private/ok/page", "/img/x.gif",
+             "/gallery/x.gif", "/tmp", "/tmpx/y", "/a%3Cd.html",
+             "/a%3cd.html", "/2004/page1.html", "/private/x",
+             "/x" * 30, "/gallery/sub/deep.gif$"]
+    for text in texts:
+        r = RobotsTxt(text)
+        for agent in ("*", "x", "xbot"):
+            exp = [r.allowed(p or "/", agent) for p in paths]
+            got = r.allowed_many(paths, agent)
+            assert isinstance(got, np.ndarray)
+            assert got.tolist() == exp, (text, agent)
+
+
+def test_gate_frame_decisions_match_row_loop():
+    """The vectorized gate decision must reproduce the old per-row loop:
+    same decisions, same lazy bucket creation (checkpoint payloads)."""
+    import json
+
+    import pandas as pd
+
+    from akf_cdparser_ray.state.politeness import (
+        PolitenessState, synth_robots_txt,
+    )
+
+    class _Plain:
+        """The pre-round-4 per-row loop, kept verbatim as the oracle."""
+
+        def __init__(self):
+            self.state = PolitenessState(robots_fetch=synth_robots_txt)
+
+        def decide(self, hosts, urls, wave, salts):
+            out = []
+            for host, url in zip(hosts, urls):
+                rules = self.state.rules_for(host)
+                path = url.split(host, 1)[-1] or "/"
+                if not rules.allowed(path):
+                    out.append("robots")
+                    continue
+                b = self.state.bucket_for(host, salts.get(host, 1))
+                b.refill(wave)
+                out.append("allow" if b.try_take() else "defer")
+            return out
+
+    from akf_cdparser_ray.stages.politeness_stage import PolitenessShard
+
+    gate_cls = PolitenessShard.__ray_metadata__.modified_class
+    vec = gate_cls()
+    plain = _Plain()
+    rows = []
+    for h in range(6):
+        host = f"www.host{h}.example"
+        for i in range(20):
+            year = 1999 + (sum(map(ord, host)) % 17)  # denied year
+            path = f"/{year}/p{i}.html" if i % 4 == 0 else f"/ok/p{i}.html"
+            rows.append((host, f"http://{host}{path}"))
+    rows.append(("www.hostX.example", "http://www.hostX.example"))  # "" path
+    df = pd.DataFrame(rows, columns=["host", "url_canon"])
+    salts = {"www.host1.example": 2}
+    for wave in (1, 2, 5):
+        exp = plain.decide(df["host"].tolist(), df["url_canon"].tolist(),
+                           wave, salts)
+        got = list(vec._decide_frame(df, wave, salts))
+        assert got == exp, wave
+    # identical checkpoint payloads (lazy bucket creation preserved)
+    exp_buckets = json.dumps(
+        {h: {"tokens": b.tokens, "wave": b.wave, "per_wave": b.per_wave,
+             "burst": b.burst} for h, b in plain.state.buckets.items()},
+        sort_keys=True)
+    assert vec.serialize() == exp_buckets
