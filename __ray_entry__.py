@@ -18,6 +18,16 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Deterministic block ordering is part of this engine's contract: the
+# batch-layout-sensitive queries (pack_sequences, curate, range_shards,
+# approx_quantiles) pin goldens on the block stream, and spill_dataset's
+# re-read must map files back to blocks 1:1. Ray's default
+# preserve_order=False may emit blocks out of order under load. This is
+# driver-side DataContext config, not session ownership (no ray.init).
+import ray.data as _rd  # noqa: E402
+
+_rd.DataContext.get_current().execution_options.preserve_order = True
+
 SF0001 = "/root/testdata/sf0.001"
 
 

@@ -24,6 +24,9 @@ import sys
 def _ensure_ray(num_cpus: int | None):
     import ray
 
+    # engine contract: deterministic block ordering (layout-sensitive
+    # outputs; Ray's default preserve_order=False can reorder under load)
+    ray.data.DataContext.get_current().execution_options.preserve_order = True
     if not ray.is_initialized():
         ray.init(
             address="local",

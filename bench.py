@@ -216,6 +216,7 @@ def stats() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     os.environ.setdefault("AKF_PICKLE_BY_VALUE", "0")
+    ray.data.DataContext.get_current().execution_options.preserve_order = True
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     sys.path.insert(0, repo)
@@ -250,6 +251,8 @@ def main() -> None:
     os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     os.environ.setdefault("AKF_PICKLE_BY_VALUE", "0")
 
+    # engine contract: deterministic block ordering (see conftest note)
+    ray.data.DataContext.get_current().execution_options.preserve_order = True
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -363,6 +366,7 @@ if __name__ == "__main__":
             repo = os.path.dirname(os.path.abspath(__file__))
             os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
             os.environ.setdefault("AKF_PICKLE_BY_VALUE", "0")
+            ray.data.DataContext.get_current().execution_options.preserve_order = True
             ray.init(
                 address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                 ignore_reinit_error=True, logging_level="ERROR",
