@@ -189,6 +189,26 @@ def cmd_json2sql(args) -> int:
 
 def cmd_crawl(args) -> int:
     ray = _ensure_ray(args.parallel)
+    if args.stream:
+        from .pipelines.stream_crawl import StreamCrawlConfig, StreamCrawlJob
+
+        sjob = StreamCrawlJob(StreamCrawlConfig(
+            seeds=args.seeds,
+            corpus_size=args.corpus_size,
+            out_dir=args.out_dir,
+            max_fetches=args.max_fetches,
+        ))
+        summary = sjob.run()
+        c = summary["counters"]
+        print(json.dumps({
+            "mode": "stream",
+            "fetched": c["fetched"],
+            "seen": summary["seen_total"],
+            "leases": c["leases"],
+        }))
+        sjob.shutdown()
+        ray.shutdown()
+        return 0
     from .pipelines.crawl import CrawlConfig, CrawlJob
 
     cfg = CrawlConfig(
@@ -266,6 +286,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-waves", type=int, default=5)
     p.add_argument("--dequeue-k", type=int, default=64)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--stream", action="store_true",
+                   help="streaming (non-wave) frontier: no replay trace, "
+                        "higher throughput; see pipelines/stream_crawl.py")
+    p.add_argument("--max-fetches", type=int, default=None,
+                   help="stream mode: stop after ~N fetches (default drain)")
     p.add_argument("-n", "--parallel", type=int, default=None)
     p.set_defaults(fn=cmd_crawl)
 

@@ -1,0 +1,370 @@
+"""True streaming (non-wave) crawl frontier — the north rule's
+"streaming" made literal.
+
+The wave pipeline (pipelines/crawl.py) is a software-pipelined BSP loop:
+strong replay determinism (byte-identical traces, kill-and-resume), at
+the cost of a per-wave Ray Data launch floor (~0.2-0.5 s) that dominates
+discovery-limited crawls. This module is the complementary operating
+mode: a fleet of long-lived worker actors continuously LEASE small URL
+slices from the frontier shards, gate, fetch, parse, write and offer —
+no wave barriers, no per-step Dataset launch, work flows as fast as the
+frontier refills.
+
+Shape (everything stays off the driver):
+
+    StreamWorker[i] loop:
+      lease epoch   ← Coordinator.begin_lease()        (tiny RPC)
+      rows          ← FrontierShard[rr].dequeue(L, epoch)
+      decisions     ← PolitenessShard[g].gate(hosts, urls, epoch)
+                      (vectorized robots + epoch-refilled token buckets —
+                       the wave-mode gate verbatim, with the lease epoch
+                       standing in for the wave number)
+      deferred      → owning FrontierShard.defer(rows, epoch)  (re-eligible
+                       next epoch, exactly like waves)
+      fetch → parse → pairs fragment (worker-side parquet write)
+      links         → owning FrontierShard.offer_stream(...)   (immediate
+                       enqueue, acked before the lease ends)
+      counters      → Coordinator.end_lease()
+
+Termination is a sound drain barrier with shard-local accounting: a
+dequeue marks its rows *outstanding* at the shard atomically with their
+removal, and the worker completes the slice only after its defer/offer
+RPCs are acked — so every pending row is visible in exactly one shard's
+``pending_total`` (queued + deferred + in-flight) at every instant. A
+worker whose full sweep comes up empty asks the Coordinator, which
+declares drain iff the sum over shards is zero. (A coordinator-side
+busy-lease counter is NOT sound here: with W spinning workers some
+lease is nearly always open and the drain check never fires.)
+
+DETERMINISM CONTRACT (weaker than waves, by design — documented where
+the wave mode's is load-bearing): on a drained crawl the fetched URL
+SET, the pairs CONTENT, and the robots-denied set are schedule-
+independent (offers min-merge; cuckoo membership is insertion-order-
+independent; budgets only defer, never deny, so a drained run fetches
+exactly the robots-allowed reachable set — up to cuckoo false-positive
+aliasing, whose probability is capacity-controlled). Fetch ORDER, the
+per-epoch counters, and defer counts are schedule-dependent; there is
+no replay trace. Use the wave mode when byte-identical replay or
+kill-resume matters; use this mode for latency/throughput.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..sources import io as aio
+from ..stages.cached import cached_fetch_batch, cached_parse_batch
+from ..stages.dedupe import ShardedSeenSet
+from ..stages.frontier import FRONTIER_COLS
+from ..stages.links import (
+    canonicalize_url, extract_links_batch, host_of, url_hash64,
+)
+from ..stages.politeness_stage import PolitenessShard, host_shard
+
+
+@dataclass
+class StreamCrawlConfig:
+    seeds: list[str]
+    corpus_size: int
+    out_dir: str
+    num_shards: int = 16
+    num_politeness_shards: int = 8
+    num_workers: int = 0            # 0 = cluster CPUs - shards' reservations
+    lease_urls: int = 128           # URLs per lease (per worker pull)
+    leases_per_epoch: int = 32      # budget-refill cadence (the "wave" stand-in)
+    budgets: dict = field(default_factory=dict)
+    filter_capacity: int = 1 << 16
+    seed: int = 42
+    max_fetches: int | None = None  # safety stop (None = drain)
+
+
+_CTR_KEYS = ["dequeued", "allowed", "deferred", "robots_denied", "fetched",
+             "http_404", "parsed_ok", "parse_err", "pairs_rows", "links",
+             "links_new", "leases"]
+
+
+@ray.remote(num_cpus=0.05)
+class StreamCoordinator:
+    """Lease accounting + epoch clock + drain barrier. Tiny state, tiny
+    RPCs; never sees a URL."""
+
+    def __init__(self, shards, leases_per_epoch: int,
+                 max_fetches: int | None):
+        self._shards = shards
+        self._per_epoch = max(1, leases_per_epoch)
+        self._max_fetches = max_fetches
+        self._leases = 0
+        self._drained = False
+        self._ctr = {k: 0 for k in _CTR_KEYS}
+
+    def begin_lease(self) -> int | None:
+        """None = stop (drained or fetch cap hit); else the current epoch.
+        The epoch clock ticks on lease COUNT (deterministic given the
+        schedule, never wall clock): it only gates deferred-row visibility
+        and politeness refills, so idle leases advancing it merely lets a
+        budget-limited crawl proceed."""
+        if self._drained or (
+            self._max_fetches is not None
+            and self._ctr["fetched"] >= self._max_fetches
+        ):
+            return None
+        self._leases += 1
+        return self._leases // self._per_epoch
+
+    def end_lease(self, counters: dict | None) -> None:
+        if counters:
+            for k, v in counters.items():
+                self._ctr[k] += int(v)
+
+    def try_drain(self) -> bool:
+        """Called by a worker whose full shard sweep came up empty. Sound
+        without any busy-counting (a coordinator-side busy counter races:
+        with W spinning workers some lease is nearly always open): each
+        shard counts rows it handed out and not yet completed as
+        *outstanding*, atomically with the dequeue, and workers complete a
+        slice only after its defer/offer RPCs are acked. So every pending
+        row is visible in exactly one shard's ``pending_total`` at every
+        instant, and a zero sum proves no work exists anywhere."""
+        if self._drained:
+            return True
+        sizes = ray.get([sh.pending_total.remote() for sh in self._shards])
+        if sum(sizes) == 0:
+            self._drained = True
+        return self._drained
+
+    def counters(self) -> dict:
+        return dict(self._ctr)
+
+
+@ray.remote(num_cpus=1)
+class StreamWorker:
+    """One long-lived crawl worker: fetch/parse state built once
+    (actor-pool pattern); the loop runs until the coordinator drains."""
+
+    def __init__(self, cfg: StreamCrawlConfig, shards, gates, coordinator,
+                 worker_id: int):
+        self.cfg = cfg
+        self.shards = shards
+        self.gates = gates
+        self.coord = coordinator
+        self.wid = worker_id
+        self.fetch_fn = cached_fetch_batch(cfg.corpus_size, cfg.seed)
+        self.parse_fn = cached_parse_batch()
+        self.pairs_tmp = os.path.join(cfg.out_dir, "pairs", ".stream.building")
+        os.makedirs(self.pairs_tmp, exist_ok=True)
+        self._gate_cache: dict[str, int] = {}
+
+    # -- one lease ---------------------------------------------------------
+    def _gate_of(self, host: str) -> int:
+        g = self._gate_cache.get(host)
+        if g is None:
+            g = self._gate_cache[host] = host_shard(
+                host, 0, self.cfg.num_politeness_shards)
+        return g
+
+    def _process(self, df: pd.DataFrame, epoch: int) -> dict:
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        ctr = {k: 0 for k in _CTR_KEYS}
+        ctr["dequeued"] = len(df)
+        # politeness: one gate() per politeness shard present in the lease
+        gshard = np.fromiter((self._gate_of(h) for h in df["host"]),
+                             dtype=np.int64, count=len(df))
+        decisions = np.empty(len(df), dtype=object)
+        futs, idxs = [], []
+        for g in np.unique(gshard):
+            sel = np.flatnonzero(gshard == g)
+            futs.append(self.gates[int(g)].gate.remote(
+                [df["host"].iloc[i] for i in sel],
+                [df["url_canon"].iloc[i] for i in sel], epoch, {}))
+            idxs.append(sel)
+        for sel, dec in zip(idxs, ray.get(futs)):
+            decisions[sel] = dec
+        allowed = df[decisions == "allow"]
+        deferred = df[decisions == "defer"]
+        ctr["allowed"] = len(allowed)
+        ctr["deferred"] = len(deferred)
+        ctr["robots_denied"] = int((decisions == "robots").sum())
+        # deferred rows return to their owning hash shard, re-eligible
+        # next epoch (same semantics as the wave mode's defer)
+        if len(deferred):
+            sid = (deferred["url_hash"].to_numpy().astype(np.uint64)
+                   % np.uint64(self.cfg.num_shards)).astype(np.int64)
+            acks = [
+                self.shards[int(s)].defer.remote(
+                    deferred[sid == s][FRONTIER_COLS].reset_index(drop=True),
+                    epoch)
+                for s in np.unique(sid)
+            ]
+            ray.get(acks)
+        if not len(allowed):
+            return ctr
+        batch = pa.Table.from_pandas(
+            allowed[["url_canon", "depth"]].reset_index(drop=True),
+            preserve_index=False)
+        fetched_b = self.fetch_fn(batch)
+        ok_mask = [s == "200" for s in
+                   fetched_b.column("fetch_status").to_pylist()]
+        ok_b = fetched_b.filter(pa.array(ok_mask))
+        ctr["fetched"] = int(sum(ok_mask))
+        ctr["http_404"] = int(len(ok_mask) - sum(ok_mask))
+        parsed_b = self.parse_fn(ok_b)
+        statuses = parsed_b.column("status").to_pylist()
+        ctr["parsed_ok"] = statuses.count("ok")
+        ctr["parse_err"] = statuses.count("error")
+        pairs_b = parsed_b.select(
+            ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+             "status"])
+        if pairs_b.num_rows:
+            name = hashlib.blake2b(
+                "|".join(allowed["url_canon"]).encode(), digest_size=8,
+            ).hexdigest()
+            pq.write_table(pairs_b,
+                           os.path.join(self.pairs_tmp,
+                                        f"part-{name}.parquet"))
+            ctr["pairs_rows"] = pairs_b.num_rows
+        links_b = extract_links_batch(ok_b)
+        ctr["links"] = links_b.num_rows
+        if links_b.num_rows:
+            hashes = links_b.column("url_hash").to_numpy(zero_copy_only=False)
+            shard = (hashes % np.uint64(self.cfg.num_shards)).astype(np.int64)
+            order = np.argsort(shard, kind="stable")
+            sorted_b = links_b.take(pa.array(order))
+            canons = sorted_b.column("url_canon").to_pylist()
+            hosts = sorted_b.column("host").to_pylist()
+            depths = sorted_b.column("depth").to_pylist()
+            h_sorted = hashes[order]
+            s_sorted = shard[order]
+            uniq, starts = np.unique(s_sorted, return_index=True)
+            ends = np.append(starts[1:], len(s_sorted))
+            futs = [
+                self.shards[int(s)].offer_stream.remote(
+                    canons[st:en], h_sorted[st:en].tolist(), hosts[st:en],
+                    depths[st:en], epoch)
+                for s, st, en in zip(uniq, starts, ends)
+            ]
+            # acked BEFORE the lease ends — the drain barrier's soundness
+            ctr["links_new"] = int(sum(ray.get(futs)))
+        return ctr
+
+    def run_loop(self) -> int:
+        """Lease until the coordinator drains. Returns leases processed."""
+        import time
+
+        cfg = self.cfg
+        rr = self.wid
+        n = 0
+        while True:
+            epoch = ray.get(self.coord.begin_lease.remote())
+            if epoch is None:
+                return n
+            df, src = None, -1
+            for j in range(cfg.num_shards):
+                s = (rr + j) % cfg.num_shards
+                tbl = ray.get(self.shards[s].dequeue_stream.remote(
+                    cfg.lease_urls, epoch))
+                if tbl.num_rows:
+                    df = tbl.to_pandas()
+                    df["url_hash"] = df["url_hash"].astype(np.uint64)
+                    src = s
+                    break
+            rr = (rr + 1) % cfg.num_shards
+            if df is None:
+                ray.get(self.coord.end_lease.remote({"leases": 1}))
+                if ray.get(self.coord.try_drain.remote()):
+                    return n
+                time.sleep(0.002)
+                continue
+            ctr = self._process(df, epoch)
+            ctr["leases"] = 1
+            # defer/offer RPCs are acked inside _process; only now may the
+            # slice leave the source shard's outstanding count (drain
+            # barrier soundness — see FrontierShard.dequeue_stream).
+            ray.get(self.shards[src].complete_stream.remote(len(df)))
+            ray.get(self.coord.end_lease.remote(ctr))
+            n += 1
+
+
+class StreamCrawlJob:
+    """Driver-side assembly: shards + gates + coordinator + worker fleet.
+    The driver seeds the frontier, fires ``run_loop`` on every worker,
+    waits, finalizes the pairs partition and reports counters."""
+
+    def __init__(self, cfg: StreamCrawlConfig):
+        self.cfg = cfg
+        self.seen = ShardedSeenSet(cfg.num_shards, cfg.filter_capacity)
+        self.gates = [PolitenessShard.remote(cfg.budgets)
+                      for _ in range(cfg.num_politeness_shards)]
+        self.coord = StreamCoordinator.remote(
+            self.seen.shards, cfg.leases_per_epoch, cfg.max_fetches)
+        n_workers = cfg.num_workers or max(
+            2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+        self.workers = [
+            StreamWorker.remote(cfg, self.seen.shards, self.gates,
+                                self.coord, i)
+            for i in range(n_workers)
+        ]
+
+    def _seed(self) -> int:
+        rows = []
+        for url in self.cfg.seeds:
+            canon = canonicalize_url(url)
+            rows.append({
+                "url_canon": canon,
+                "url_hash": np.uint64(url_hash64(canon)),
+                "host": host_of(canon),
+                "priority": 100,
+                "depth": 0,
+                "discovered_at": 0,
+            })
+        df = pd.DataFrame(rows, columns=FRONTIER_COLS)
+        df = df.drop_duplicates("url_hash").reset_index(drop=True)
+        is_new = self.seen.check_and_add(
+            df["url_hash"].to_numpy(dtype=np.uint64))
+        df = df[is_new].reset_index(drop=True)
+        sid = (df["url_hash"].to_numpy(dtype=np.uint64)
+               % np.uint64(self.cfg.num_shards)).astype(np.int64)
+        acks = [
+            self.seen.shards[s].seed.remote(
+                df[sid == s].reset_index(drop=True))
+            for s in range(self.cfg.num_shards) if (sid == s).any()
+        ]
+        ray.get(acks)
+        return len(df)
+
+    def run(self) -> dict:
+        n_seeds = self._seed()
+        futs = [w.run_loop.remote() for w in self.workers]
+        leases = ray.get(futs)
+        ctr = ray.get(self.coord.counters.remote())
+        pairs_rows = ctr["pairs_rows"]
+        pairs_root = os.path.join(self.cfg.out_dir, "pairs")
+        tmp = os.path.join(pairs_root, ".stream.building")
+        if os.path.isdir(tmp):
+            aio.finalize_partition(
+                pairs_root, "stream", tmp, rows=pairs_rows,
+                lineage={"mode": "stream", "seeds": n_seeds,
+                         "fetched": ctr["fetched"]})
+        return {
+            "counters": ctr,
+            "seeds": n_seeds,
+            "worker_leases": leases,
+            "seen_total": self.seen.total(),
+        }
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            ray.kill(w)
+        ray.kill(self.coord)
+        for g in self.gates:
+            ray.kill(g)
+        self.seen.shutdown()
+        self.workers, self.gates = [], []

@@ -185,6 +185,8 @@ class FrontierShard:
         self.spill_path = spill_path  # path prefix for run files
         self.spill_runs: list[dict] = []  # {path, rows, best_key}
         self.spill_seq = 0
+        # streaming-mode in-flight accounting (see dequeue_stream)
+        self._outstanding = 0
 
     # -- URL-seen membership ------------------------------------------------
     def check_and_add(self, hashes: list[int]) -> list[bool]:
@@ -224,6 +226,54 @@ class FrontierShard:
 
     def offered_count(self, wave: int = 0) -> int:
         return self.offered.get(wave, 0)
+
+    def offer_stream(self, canons: list[str], hashes: list[int],
+                     hosts: list[str], depths: list[int],
+                     epoch: int = 0) -> int:
+        """Streaming-mode offer: dedupe against the filter and enqueue
+        IMMEDIATELY — no wave buffer, no flush barrier (the streaming
+        crawl's continuous frontier). In-call min-merge on
+        (depth, url, host), then filter ``check_and_add`` in sorted-hash
+        order. Returns the number of new URLs enqueued.
+
+        Determinism contract (weaker than waves, documented in
+        pipelines/stream_crawl.py): enqueue ORDER depends on RPC arrival
+        order, but the SET of enqueued urls is arrival-order-independent
+        up to cuckoo false-positive aliasing (membership probes are
+        insertion-order-independent; an FP pair could resolve differently
+        only when the aliasing hash is probed before vs after its partner
+        is inserted)."""
+        best: dict[int, tuple] = {}
+        hs = np.asarray(hashes, dtype=np.uint64)
+        for i, h in enumerate(hs):
+            h = int(h)
+            cand = (int(depths[i]), canons[i], hosts[i])
+            prev = best.get(h)
+            if prev is None or cand < prev:
+                best[h] = cand
+        items = sorted(best.items())
+        if not items:
+            return 0
+        is_new = self.filter.check_and_add_many(
+            np.array([h for h, _ in items], dtype=np.uint64)
+        )
+        new_items = [it for it, keep in zip(items, is_new) if keep]
+        if new_items:
+            d = np.array([v[0] for _, v in new_items], dtype=np.int64)
+            run = pd.DataFrame(
+                {
+                    "url_canon": [v[1] for _, v in new_items],
+                    "url_hash": np.array([h for h, _ in new_items],
+                                         dtype=np.uint64),
+                    "host": [v[2] for _, v in new_items],
+                    "priority": np.maximum(1, 100 - 10 * d),
+                    "depth": d,
+                    "discovered_at": np.int64(epoch),
+                }
+            )
+            self._add_run(_sort_run(run))
+            self._maybe_spill()
+        return len(new_items)
 
     def enqueue_flush(self, wave: int, expected: int | None = None,
                       visible_at: int | None = None) -> tuple[int, int] | None:
@@ -450,6 +500,33 @@ class FrontierShard:
     def frontier_size(self) -> int:
         return (self._mem_rows() + self._spilled_rows()
                 + sum(len(r) for _, r in self.future))
+
+    # -- streaming-mode lease path (pipelines/stream_crawl.py) --------------
+    def dequeue_stream(self, k: int, epoch: int | None = None) -> pa.Table:
+        """``dequeue`` plus in-flight accounting: the returned rows are
+        counted as *outstanding* at this shard ATOMICALLY with their
+        removal from the queue, so `pending_total` can never observe the
+        moment where rows are neither queued nor outstanding. The worker
+        acks with ``complete_stream`` only AFTER its defer/offer RPCs are
+        acked — by then every row it touched is re-counted somewhere —
+        which makes the streaming drain barrier sound without any
+        coordinator-side busy counting (that version raced: idle workers'
+        leases kept busy>0 forever)."""
+        tbl = self.dequeue(k, epoch)
+        self._outstanding += tbl.num_rows
+        return tbl
+
+    def complete_stream(self, n: int) -> int:
+        """Worker finished a leased slice (defers and offers already
+        acked). Returns remaining outstanding rows."""
+        self._outstanding -= int(n)
+        assert self._outstanding >= 0, "complete_stream over-ack"
+        return self._outstanding
+
+    def pending_total(self) -> int:
+        """Queued + deferred + in-flight rows owned by this shard — the
+        streaming drain check (zero everywhere ⇒ no work exists)."""
+        return self.frontier_size() + self._outstanding
 
     # -- checkpoint ---------------------------------------------------------
     def checkpoint(self, frontier_path: str, filter_path: str) -> int:

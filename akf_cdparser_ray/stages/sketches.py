@@ -200,7 +200,13 @@ class TDigest:
         i = int(np.searchsorted(cum, target) - 1)
         span = cum[i + 1] - cum[i]
         frac = (target - cum[i]) / span if span > 0 else 0.0
-        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+        lo, hi = self.means[i], self.means[i + 1]
+        # clamp into the segment: lo + frac*(hi-lo) can overshoot past hi
+        # by one ulp near frac=1 (catastrophic cancellation when |lo|≫|hi|),
+        # which breaks cross-segment quantile monotonicity. The fused form
+        # is monotone in frac under rounding, and clip preserves that, so
+        # clamped quantiles are monotone in q.
+        return float(min(max(lo + frac * (hi - lo), lo), hi))
 
     # -- serialization (sketch rows shuffle as bytes) -------------------
     def to_bytes(self) -> bytes:

@@ -2,7 +2,7 @@
 
 import numpy as np
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from akf_cdparser_ray.stages.links import canonicalize_url, canonicalize_urls
@@ -54,6 +54,9 @@ def test_clz64_property(vals):
 @given(st.lists(st.floats(min_value=-1e9, max_value=1e9,
                           allow_nan=False, allow_infinity=False),
                 min_size=1, max_size=500))
+# regression: lerp overshot past means[i+1] by one ulp near frac=1 when
+# |means[i]| ≫ |means[i+1]| → non-monotone quantiles (now clamped)
+@example(vals=[-16777218.0, -1.000000001320839, -1.000000001320839])
 def test_tdigest_properties(vals):
     d = TDigest.of(vals, delta=100)
     qs = [d.quantile(q) for q in (0.0, 0.25, 0.5, 0.75, 1.0)]

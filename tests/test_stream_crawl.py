@@ -1,0 +1,136 @@
+"""Streaming (non-wave) crawl mode: drain soundness + the documented
+determinism contract (fetched SET / pairs CONTENT / robots-denied set are
+schedule-independent; order and per-epoch counters are not).
+
+Reference semantics: the wave pipeline (pipelines/crawl.py) is the
+replay-deterministic mode; stream mode must agree with it on WHAT gets
+crawled (the robots-allowed reachable set), not on when or in what order.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from akf_cdparser_ray.sources import io as aio
+from akf_cdparser_ray.sources import synth
+
+
+def _stream_cfg(tmp_path, name, **overrides):
+    from akf_cdparser_ray.pipelines.stream_crawl import StreamCrawlConfig
+
+    base = dict(
+        seeds=[synth.page_url_for_idx(i) for i in range(6)],
+        corpus_size=300,
+        out_dir=str(tmp_path / name),
+        num_shards=4,
+        num_politeness_shards=2,
+        num_workers=2,
+        lease_urls=32,
+        leases_per_epoch=8,
+        budgets={f"host{k}.example": {"per_wave": 10_000, "burst": 10_000}
+                 for k in range(20)},
+        filter_capacity=1 << 14,
+    )
+    base.update(overrides)
+    return StreamCrawlConfig(**base)
+
+
+def _run_stream(cfg):
+    from akf_cdparser_ray.pipelines.stream_crawl import StreamCrawlJob
+
+    job = StreamCrawlJob(cfg)
+    try:
+        return job.run()
+    finally:
+        job.shutdown()
+
+
+def _pairs_ids(out_dir) -> set[str]:
+    t = aio.read_partitions(str(out_dir) + "/pairs")
+    return set(t.column("image_id").to_pylist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_drains_and_accounts_every_url(tmp_path):
+    cfg = _stream_cfg(tmp_path, "s1")
+    res = _run_stream(cfg)
+    c = res["counters"]
+    # drained: every URL ever admitted to the frontier was resolved
+    assert c["fetched"] + c["http_404"] + c["robots_denied"] == res["seen_total"]
+    assert c["fetched"] > 0
+    assert c["parsed_ok"] == c["fetched"]
+    assert res["seen_total"] == res["seeds"] + c["links_new"]
+    # pairs partition promoted, row count matches counters
+    t = aio.read_partitions(str(tmp_path / "s1" / "pairs"))
+    assert t.num_rows == c["pairs_rows"] == c["parsed_ok"]
+    assert len(_pairs_ids(tmp_path / "s1")) == t.num_rows  # ids unique
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_fetched_set_is_schedule_independent(tmp_path):
+    """Different worker counts + lease sizes ⇒ different schedules, same
+    fetched set / robots-denied count / seen set size (the stream mode's
+    determinism contract)."""
+    r1 = _run_stream(_stream_cfg(tmp_path, "a", num_workers=1, lease_urls=64))
+    r2 = _run_stream(_stream_cfg(tmp_path, "b", num_workers=3, lease_urls=8))
+    assert _pairs_ids(tmp_path / "a") == _pairs_ids(tmp_path / "b")
+    assert r1["seen_total"] == r2["seen_total"]
+    c1, c2 = r1["counters"], r2["counters"]
+    for k in ("fetched", "http_404", "robots_denied", "parsed_ok",
+              "pairs_rows", "links_new"):
+        assert c1[k] == c2[k], k
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_matches_wave_mode_reachable_set(tmp_path):
+    """Stream and wave modes crawl the SAME robots-allowed reachable set
+    when budgets never deny (budgets only defer; both modes drain)."""
+    from akf_cdparser_ray.pipelines.crawl import CrawlConfig, CrawlJob
+
+    scfg = _stream_cfg(tmp_path, "stream")
+    sres = _run_stream(scfg)
+
+    wjob = CrawlJob(CrawlConfig(
+        seeds=scfg.seeds,
+        corpus_size=scfg.corpus_size,
+        out_dir=str(tmp_path / "wave"),
+        num_shards=4,
+        num_politeness_shards=2,
+        dequeue_k=64,
+        max_waves=60,
+        budgets=scfg.budgets,
+    ))
+    wres = wjob.run()
+    wjob.shutdown()
+
+    assert _pairs_ids(tmp_path / "stream") == _pairs_ids(tmp_path / "wave")
+    wtot = {k: sum(c[k] for c in wres["counters"])
+            for k in wres["counters"][0] if k != "wave"}
+    assert sres["counters"]["fetched"] == wtot["fetched"]
+    assert sres["counters"]["robots_denied"] == wtot["robots_denied"]
+    assert sres["seen_total"] == wres["seen_total"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_politeness_limited_still_drains(tmp_path):
+    """Tight default budgets (8/epoch/host): progress rides on epoch-clock
+    refills; the run must still drain with everything accounted."""
+    cfg = _stream_cfg(tmp_path, "tight", corpus_size=120, budgets={},
+                      leases_per_epoch=4)
+    res = _run_stream(cfg)
+    c = res["counters"]
+    assert c["fetched"] + c["http_404"] + c["robots_denied"] == res["seen_total"]
+    assert c["deferred"] > 0  # budgets actually bit
+    assert c["fetched"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_max_fetches_cap_stops_early(tmp_path):
+    cfg = _stream_cfg(tmp_path, "cap", max_fetches=20, num_workers=1,
+                      lease_urls=8)
+    res = _run_stream(cfg)
+    c = res["counters"]
+    assert 20 <= c["fetched"] < 300  # cap is a lease-granularity floor
+    # partition still finalized consistently with what WAS fetched
+    t = aio.read_partitions(str(tmp_path / "cap" / "pairs"))
+    assert t.num_rows == c["pairs_rows"]
