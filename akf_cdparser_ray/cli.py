@@ -197,8 +197,9 @@ def cmd_crawl(args) -> int:
             corpus_size=args.corpus_size,
             out_dir=args.out_dir,
             max_fetches=args.max_fetches,
+            checkpoint_every_fetches=args.checkpoint_every,
         ))
-        summary = sjob.run()
+        summary = sjob.run(resume=args.resume)
         c = summary["counters"]
         print(json.dumps({
             "mode": "stream",
@@ -291,6 +292,9 @@ def main(argv=None) -> int:
                         "higher throughput; see pipelines/stream_crawl.py")
     p.add_argument("--max-fetches", type=int, default=None,
                    help="stream mode: stop after ~N fetches (default drain)")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="stream mode: quiesce-checkpoint every ~N fetches "
+                        "(--resume continues from the last marker)")
     p.add_argument("-n", "--parallel", type=int, default=None)
     p.set_defaults(fn=cmd_crawl)
 

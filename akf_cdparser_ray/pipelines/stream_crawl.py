@@ -44,13 +44,30 @@ independent; budgets only defer, never deny, so a drained run fetches
 exactly the robots-allowed reachable set — up to cuckoo false-positive
 aliasing, whose probability is capacity-controlled). Fetch ORDER, the
 per-epoch counters, and defer counts are schedule-dependent; there is
-no replay trace. Use the wave mode when byte-identical replay or
-kill-resume matters; use this mode for latency/throughput.
+no replay trace. Use the wave mode when byte-identical replay matters;
+use this mode for latency/throughput.
+
+CHECKPOINT/RESUME (``checkpoint_every_fetches``): roughly every N
+fetches the coordinator pauses new leases; one worker wins ownership,
+waits for quiescence (open leases and shard-outstanding both drain to
+zero — monotone under pause), snapshots every shard's frontier+filter
+page, the gate buckets and the counters, promotes the pairs fragments
+accumulated since the last checkpoint to a ``stream-partNNNN``
+partition, and writes the ``stream_ckpt.json`` marker atomically LAST.
+``run(resume=True)`` rolls back anything newer than the marker (orphan
+fragments + later partitions — those rows are still in the restored
+frontier) and continues: a killed run refetches only post-marker work
+and the final pairs union has no duplicates and no losses (test-pinned
+against an uninterrupted run).
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import shutil
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -82,6 +99,13 @@ class StreamCrawlConfig:
     filter_capacity: int = 1 << 16
     seed: int = 42
     max_fetches: int | None = None  # safety stop (None = drain)
+    # consistent checkpoint roughly every N fetches (None = never).
+    # Checkpoints quiesce the fleet (pause new leases, drain in-flight
+    # slices), snapshot frontier+filter pages+gate buckets+counters, and
+    # promote the pairs fragments written so far — so a killed run resumes
+    # from the marker refetching only post-checkpoint work, never
+    # duplicating or losing a pairs row.
+    checkpoint_every_fetches: int | None = None
 
 
 _CTR_KEYS = ["dequeued", "allowed", "deferred", "robots_denied", "fetched",
@@ -95,32 +119,82 @@ class StreamCoordinator:
     RPCs; never sees a URL."""
 
     def __init__(self, shards, leases_per_epoch: int,
-                 max_fetches: int | None):
+                 max_fetches: int | None,
+                 ckpt_every_fetches: int | None = None):
         self._shards = shards
         self._per_epoch = max(1, leases_per_epoch)
         self._max_fetches = max_fetches
         self._leases = 0
+        self._open = 0          # leases begun and not yet ended
         self._drained = False
         self._ctr = {k: 0 for k in _CTR_KEYS}
+        self._ckpt_every = ckpt_every_fetches
+        self._next_ckpt = ckpt_every_fetches
+        self._ckpt_seq = 0
+        self._pausing = False
+        self._ckpt_owner = False
 
-    def begin_lease(self) -> int | None:
-        """None = stop (drained or fetch cap hit); else the current epoch.
-        The epoch clock ticks on lease COUNT (deterministic given the
-        schedule, never wall clock): it only gates deferred-row visibility
-        and politeness refills, so idle leases advancing it merely lets a
-        budget-limited crawl proceed."""
+    def begin_lease(self) -> int | str | None:
+        """None = stop (drained or fetch cap hit); "pause" = a checkpoint
+        is pending (retry shortly / volunteer via acquire_checkpoint);
+        else the current epoch. The epoch clock ticks on lease COUNT
+        (deterministic given the schedule, never wall clock): it only
+        gates deferred-row visibility and politeness refills, so idle
+        leases advancing it merely lets a budget-limited crawl proceed."""
         if self._drained or (
             self._max_fetches is not None
             and self._ctr["fetched"] >= self._max_fetches
         ):
             return None
+        if self._pausing:
+            return "pause"
+        if self._next_ckpt is not None and self._ctr["fetched"] >= self._next_ckpt:
+            self._pausing = True
+            return "pause"
         self._leases += 1
+        self._open += 1
         return self._leases // self._per_epoch
 
     def end_lease(self, counters: dict | None) -> None:
+        self._open -= 1
         if counters:
             for k, v in counters.items():
                 self._ctr[k] += int(v)
+
+    # -- checkpoint barrier -------------------------------------------------
+    def acquire_checkpoint(self) -> int | None:
+        """First caller while pausing becomes the checkpoint owner and
+        gets the sequence number; everyone else gets None (wait)."""
+        if self._pausing and not self._ckpt_owner:
+            self._ckpt_owner = True
+            self._ckpt_seq += 1
+            return self._ckpt_seq
+        return None
+
+    def quiesced(self) -> bool:
+        """True once every begun lease has ended. The owner additionally
+        polls shard ``outstanding`` — by quiescence both are zero and the
+        counters are a consistent snapshot (pausing blocks new leases, so
+        this is a monotone drain, unlike the drain barrier's spin)."""
+        return self._open == 0
+
+    def checkpoint_done(self) -> None:
+        self._pausing = False
+        self._ckpt_owner = False
+        self._next_ckpt = self._ctr["fetched"] + (self._ckpt_every or 0)
+
+    def state(self) -> dict:
+        """Snapshot for the checkpoint marker (call at quiescence)."""
+        return {"counters": dict(self._ctr), "leases": self._leases,
+                "ckpt_seq": self._ckpt_seq}
+
+    def restore_state(self, state: dict) -> None:
+        self._ctr = {k: 0 for k in _CTR_KEYS}
+        self._ctr.update({k: int(v) for k, v in state["counters"].items()})
+        self._leases = int(state["leases"])
+        self._ckpt_seq = int(state["ckpt_seq"])
+        if self._ckpt_every is not None:
+            self._next_ckpt = self._ctr["fetched"] + self._ckpt_every
 
     def try_drain(self) -> bool:
         """Called by a worker whose full shard sweep came up empty. Sound
@@ -159,6 +233,18 @@ class StreamWorker:
         self.pairs_tmp = os.path.join(cfg.out_dir, "pairs", ".stream.building")
         os.makedirs(self.pairs_tmp, exist_ok=True)
         self._gate_cache: dict[str, int] = {}
+
+    def prime(self) -> int:
+        """Build the per-worker fetch/parse state (dictionary load, regex
+        compile) outside any timed window — the stream analogue of the
+        wave bench's warm fleet. Touches no frontier/filter state."""
+        url = "http://host0.example/1970/0.html"
+        batch = pa.table({"url_canon": [url], "depth": [0]})
+        fetched = self.fetch_fn(batch)
+        self.parse_fn(fetched.filter(
+            pa.array([s == "200" for s in
+                      fetched.column("fetch_status").to_pylist()])))
+        return 1
 
     # -- one lease ---------------------------------------------------------
     def _gate_of(self, host: str) -> int:
@@ -227,6 +313,9 @@ class StreamWorker:
             name = hashlib.blake2b(
                 "|".join(allowed["url_canon"]).encode(), digest_size=8,
             ).hexdigest()
+            # a checkpoint may have promoted (renamed away) the building
+            # dir since the last fragment; recreate lazily
+            os.makedirs(self.pairs_tmp, exist_ok=True)
             pq.write_table(pairs_b,
                            os.path.join(self.pairs_tmp,
                                         f"part-{name}.parquet"))
@@ -255,10 +344,47 @@ class StreamWorker:
             ctr["links_new"] = int(sum(ray.get(futs)))
         return ctr
 
+    def _do_checkpoint(self, seq: int) -> None:
+        """Checkpoint owner path (any one worker): wait for quiescence
+        (pausing makes it a monotone drain), snapshot every shard's
+        frontier+filter, the gate buckets and the coordinator counters,
+        promote the pairs fragments accumulated since the last checkpoint,
+        then write the marker ATOMICALLY and LAST — a kill anywhere in
+        this sequence resumes from the previous marker, refetching (never
+        duplicating) the rows promoted or fetched after it."""
+        import pyarrow.parquet as pq
+
+        cfg = self.cfg
+        while not ray.get(self.coord.quiesced.remote()):
+            time.sleep(0.002)
+        while sum(ray.get([s.outstanding.remote() for s in self.shards])):
+            time.sleep(0.002)
+        ckdir = os.path.join(cfg.out_dir, "ckpt", f"seq{seq:04d}")
+        os.makedirs(ckdir, exist_ok=True)
+        ray.get([
+            s.checkpoint.remote(os.path.join(ckdir, f"frontier-{i}.parquet"),
+                                os.path.join(ckdir, f"filter-{i}.bin"))
+            for i, s in enumerate(self.shards)
+        ])
+        payloads = ray.get([g.serialize.remote() for g in self.gates])
+        state = ray.get(self.coord.state.remote())
+        with open(os.path.join(ckdir, "state.json"), "w") as f:
+            json.dump({"gates": payloads, "coord": state}, f)
+        if os.path.isdir(self.pairs_tmp):
+            frags = glob.glob(os.path.join(self.pairs_tmp, "*.parquet"))
+            rows = sum(pq.read_metadata(p).num_rows for p in frags)
+            aio.finalize_partition(
+                os.path.join(cfg.out_dir, "pairs"), f"stream-part{seq:04d}",
+                self.pairs_tmp, rows=rows,
+                lineage={"mode": "stream", "ckpt": seq})
+        tmp = os.path.join(cfg.out_dir, "stream_ckpt.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"seq": seq}, f)
+        os.replace(tmp, os.path.join(cfg.out_dir, "stream_ckpt.json"))
+        ray.get(self.coord.checkpoint_done.remote())
+
     def run_loop(self) -> int:
         """Lease until the coordinator drains. Returns leases processed."""
-        import time
-
         cfg = self.cfg
         rr = self.wid
         n = 0
@@ -266,6 +392,13 @@ class StreamWorker:
             epoch = ray.get(self.coord.begin_lease.remote())
             if epoch is None:
                 return n
+            if epoch == "pause":
+                seq = ray.get(self.coord.acquire_checkpoint.remote())
+                if seq is not None:
+                    self._do_checkpoint(seq)
+                else:
+                    time.sleep(0.005)
+                continue
             df, src = None, -1
             for j in range(cfg.num_shards):
                 s = (rr + j) % cfg.num_shards
@@ -304,7 +437,8 @@ class StreamCrawlJob:
         self.gates = [PolitenessShard.remote(cfg.budgets)
                       for _ in range(cfg.num_politeness_shards)]
         self.coord = StreamCoordinator.remote(
-            self.seen.shards, cfg.leases_per_epoch, cfg.max_fetches)
+            self.seen.shards, cfg.leases_per_epoch, cfg.max_fetches,
+            cfg.checkpoint_every_fetches)
         n_workers = cfg.num_workers or max(
             2, int(ray.cluster_resources().get("CPU", 8)) - 2)
         self.workers = [
@@ -312,6 +446,11 @@ class StreamCrawlJob:
                                 self.coord, i)
             for i in range(n_workers)
         ]
+
+    def prime(self) -> None:
+        """Warm every worker's fetch/parse state (benchmarking: excludes
+        actor spawn + dictionary load from the timed crawl)."""
+        ray.get([w.prime.remote() for w in self.workers])
 
     def _seed(self) -> int:
         rows = []
@@ -340,17 +479,61 @@ class StreamCrawlJob:
         ray.get(acks)
         return len(df)
 
-    def run(self) -> dict:
-        n_seeds = self._seed()
+    def _restore(self) -> bool:
+        """Resume from the last complete checkpoint marker. Rolls back
+        pairs partitions promoted after the marker and orphan building
+        fragments (their rows are still in the restored frontier and will
+        be refetched), then restores shard frontiers+filter pages, gate
+        buckets, and the coordinator counters/lease clock. Returns False
+        when no marker exists (caller seeds a fresh run)."""
+        out = self.cfg.out_dir
+        pairs_root = os.path.join(out, "pairs")
+        building = os.path.join(pairs_root, ".stream.building")
+        marker = os.path.join(out, "stream_ckpt.json")
+        shutil.rmtree(building, ignore_errors=True)
+        if not os.path.exists(marker):
+            return False
+        with open(marker) as f:
+            seq = int(json.load(f)["seq"])
+        for key in list(aio.load_manifest(pairs_root)["partitions"]):
+            if key == "stream-final" or (
+                key.startswith("stream-part")
+                and int(key[len("stream-part"):]) > seq
+            ):
+                aio.drop_partition(pairs_root, key)
+        ckdir = os.path.join(out, "ckpt", f"seq{seq:04d}")
+        with open(os.path.join(ckdir, "state.json")) as f:
+            st = json.load(f)
+        ray.get([
+            s.restore.remote(os.path.join(ckdir, f"frontier-{i}.parquet"),
+                             os.path.join(ckdir, f"filter-{i}.bin"))
+            for i, s in enumerate(self.seen.shards)
+        ])
+        ray.get([g.restore.remote(p)
+                 for g, p in zip(self.gates, st["gates"])])
+        ray.get(self.coord.restore_state.remote(st["coord"]))
+        return True
+
+    def run(self, resume: bool = False, finalize: bool = True) -> dict:
+        """Crawl to drain (or the fetch cap). ``resume=True`` continues a
+        killed run from its last checkpoint marker (fresh start if none).
+        ``finalize=False`` skips the final pairs promotion — test hook to
+        simulate a kill after the workers stop."""
+        n_seeds = 0
+        if not (resume and self._restore()):
+            n_seeds = self._seed()
         futs = [w.run_loop.remote() for w in self.workers]
         leases = ray.get(futs)
         ctr = ray.get(self.coord.counters.remote())
-        pairs_rows = ctr["pairs_rows"]
         pairs_root = os.path.join(self.cfg.out_dir, "pairs")
         tmp = os.path.join(pairs_root, ".stream.building")
-        if os.path.isdir(tmp):
+        if finalize and os.path.isdir(tmp):
+            import pyarrow.parquet as pq
+
+            frags = glob.glob(os.path.join(tmp, "*.parquet"))
+            rows = sum(pq.read_metadata(p).num_rows for p in frags)
             aio.finalize_partition(
-                pairs_root, "stream", tmp, rows=pairs_rows,
+                pairs_root, "stream-final", tmp, rows=rows,
                 lineage={"mode": "stream", "seeds": n_seeds,
                          "fetched": ctr["fetched"]})
         return {

@@ -72,6 +72,23 @@ def partition_done(root: str, key: str) -> bool:
     return key in load_manifest(root)["partitions"]
 
 
+def drop_partition(root: str, key: str) -> bool:
+    """Remove a partition (dir + manifest entry), idempotently. Used by
+    resume paths to roll back partitions promoted after the last complete
+    checkpoint marker (stream crawl: a kill between pairs promotion and
+    the marker write leaves a partition whose rows will be refetched)."""
+    pdir = os.path.join(root, key)
+    existed = os.path.isdir(pdir)
+    if existed:
+        shutil.rmtree(pdir)
+    manifest = load_manifest(root)
+    if key in manifest["partitions"]:
+        del manifest["partitions"][key]
+        _store_manifest(root, manifest)
+        existed = True
+    return existed
+
+
 def write_partition(table: pa.Table, root: str, key: str, lineage: dict | None = None) -> str:
     """Atomically write one partition dir + record it in the manifest.
 

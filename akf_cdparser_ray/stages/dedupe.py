@@ -528,6 +528,10 @@ class FrontierShard:
         streaming drain check (zero everywhere ⇒ no work exists)."""
         return self.frontier_size() + self._outstanding
 
+    def outstanding(self) -> int:
+        """In-flight rows only (streaming checkpoint quiescence poll)."""
+        return self._outstanding
+
     # -- checkpoint ---------------------------------------------------------
     def checkpoint(self, frontier_path: str, filter_path: str) -> int:
         """Worker-side checkpoint write: compact the queue to one sorted run

@@ -155,6 +155,45 @@ def _crawl_once(corpus: int, *, warm: bool, **overrides) -> dict:
     }
 
 
+def _stream_crawl_once(corpus: int) -> dict:
+    import shutil
+    import tempfile
+
+    from akf_cdparser_ray.pipelines.stream_crawl import (
+        StreamCrawlConfig, StreamCrawlJob,
+    )
+    from akf_cdparser_ray.sources.synth import page_url_for_idx
+
+    budgets = {f"host{k}.example": {"per_wave": 100000, "burst": 100000}
+               for k in range(20)}
+    out_dir = tempfile.mkdtemp(prefix="streambench_")
+    cfg = StreamCrawlConfig(
+        seeds=[page_url_for_idx(i) for i in range(1000)],
+        corpus_size=corpus,
+        out_dir=out_dir,
+        num_shards=16,
+        num_politeness_shards=8,
+        lease_urls=128,
+        leases_per_epoch=32,
+        budgets=budgets,
+        filter_capacity=1 << 17,
+    )
+    job = StreamCrawlJob(cfg)
+    job.prime()  # actor spawn + dictionary load outside the timed window
+    t0 = time.perf_counter()
+    summary = job.run()
+    elapsed = time.perf_counter() - t0
+    job.shutdown()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    fetched = summary["counters"]["fetched"]
+    return {
+        "urls": fetched,
+        "seconds": round(elapsed, 2),
+        "urls_per_sec": round(fetched / elapsed, 1),
+        "leases": summary["counters"]["leases"],
+    }
+
+
 def crawl_urls_per_sec(num_cpus: int) -> dict:
     """Full crawl-loop throughput: dequeue → politeness → fetch → parse →
     per-wave pairs partitions → link extract → cuckoo dedupe → re-enqueue,
@@ -184,6 +223,15 @@ def crawl_urls_per_sec(num_cpus: int) -> dict:
         if small is None or res["urls_per_sec"] > small["urls_per_sec"]:
             small = res
     best["small"] = small
+    # streaming (non-wave) mode on the same two configs: no per-wave
+    # Dataset launch, lease workers pull continuously (no replay trace)
+    stream = None
+    for _trial in range(2):
+        res = _stream_crawl_once(60000)
+        if stream is None or res["urls_per_sec"] > stream["urls_per_sec"]:
+            stream = res
+    stream["small"] = _stream_crawl_once(10000)
+    best["stream"] = stream
     return best
 
 

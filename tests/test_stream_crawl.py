@@ -125,6 +125,55 @@ def test_stream_politeness_limited_still_drains(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_stream_checkpointed_run_same_result(tmp_path):
+    """Periodic quiesce-checkpoints must not change WHAT a completed run
+    produces: same fetched set, rows split across stream-part*/final
+    partitions with no duplicates."""
+    ref = _run_stream(_stream_cfg(tmp_path, "ref"))
+    res = _run_stream(_stream_cfg(tmp_path, "ck", checkpoint_every_fetches=80))
+    assert _pairs_ids(tmp_path / "ck") == _pairs_ids(tmp_path / "ref")
+    t = aio.read_partitions(str(tmp_path / "ck" / "pairs"))
+    assert t.num_rows == res["counters"]["pairs_rows"]  # no dup, no loss
+    # at least one mid-run promotion happened + a marker exists
+    parts = aio.load_manifest(str(tmp_path / "ck" / "pairs"))["partitions"]
+    assert any(k.startswith("stream-part") for k in parts)
+    assert (tmp_path / "ck" / "stream_ckpt.json").exists()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_kill_and_resume(tmp_path):
+    """Kill after the fetch cap (simulated: no final promotion), resume
+    from the checkpoint marker: the union of pairs partitions equals an
+    uninterrupted run's set, with zero duplicate image ids."""
+    from akf_cdparser_ray.pipelines.stream_crawl import StreamCrawlJob
+
+    ref = _run_stream(_stream_cfg(tmp_path, "full"))
+
+    cfg1 = _stream_cfg(tmp_path, "kr", checkpoint_every_fetches=60,
+                       max_fetches=120)
+    job1 = StreamCrawlJob(cfg1)
+    r1 = job1.run(finalize=False)  # die before promoting the tail
+    job1.shutdown()
+    assert r1["counters"]["fetched"] >= 120
+    assert (tmp_path / "kr" / "stream_ckpt.json").exists()
+
+    cfg2 = _stream_cfg(tmp_path, "kr", checkpoint_every_fetches=60)
+    job2 = StreamCrawlJob(cfg2)
+    r2 = job2.run(resume=True)
+    job2.shutdown()
+
+    ids = aio.read_partitions(str(tmp_path / "kr" / "pairs")) \
+        .column("image_id").to_pylist()
+    assert len(ids) == len(set(ids))  # post-marker rows refetched once
+    assert set(ids) == _pairs_ids(tmp_path / "full")
+    c = r2["counters"]  # restored snapshot + post-resume work, no double count
+    assert c["fetched"] + c["http_404"] + c["robots_denied"] == \
+        ref["counters"]["fetched"] + ref["counters"]["http_404"] + \
+        ref["counters"]["robots_denied"]
+    assert c["pairs_rows"] == len(ids)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_stream_max_fetches_cap_stops_early(tmp_path):
     cfg = _stream_cfg(tmp_path, "cap", max_fetches=20, num_workers=1,
                       lease_urls=8)
