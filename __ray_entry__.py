@@ -438,6 +438,44 @@ def q_crawl_smoke(_sf_dir: str):
     return pd.DataFrame(summary["counters"])
 
 
+def q_crawl_stream(_sf_dir: str):
+    """Streaming (non-wave) crawl to drain on a tiny synthetic corpus:
+    lease workers → politeness gates → fetch → parse → pairs + immediate
+    link enqueue; returns the drained counters (rows-only check — the
+    schedule-independence and wave-equivalence invariants are pinned in
+    tests/test_stream_crawl.py)."""
+    import tempfile
+
+    import pandas as pd
+
+    from akf_cdparser_ray.pipelines.stream_crawl import (
+        StreamCrawlConfig, StreamCrawlJob,
+    )
+    from akf_cdparser_ray.sources import synth
+
+    cfg = StreamCrawlConfig(
+        seeds=[synth.page_url_for_idx(i) for i in range(4)],
+        corpus_size=120,
+        out_dir=tempfile.mkdtemp(prefix="streamq_"),
+        num_shards=4, num_politeness_shards=2, num_workers=2,
+        lease_urls=16,
+        budgets={f"host{k}.example": {"per_wave": 10_000, "burst": 10_000}
+                 for k in range(20)},
+    )
+    job = StreamCrawlJob(cfg)
+    summary = job.run()
+    job.shutdown()
+    # project to the schedule-INDEPENDENT counters (the stream mode's
+    # determinism contract) — lease/dequeue/defer counts vary with the
+    # schedule and must not enter the golden hash
+    c = summary["counters"]
+    keys = ["fetched", "http_404", "robots_denied", "parsed_ok",
+            "parse_err", "pairs_rows", "links", "links_new"]
+    row = {k: c[k] for k in keys}
+    row["seen_total"] = summary["seen_total"]
+    return pd.DataFrame([row])
+
+
 def q_phash_neardup(_sf_dir: str):
     """Image near-dup via banded 64-bit phash over a synthetic pairs table
     with planted duplicates (rows-only check)."""
@@ -826,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_profiles": q_parse_profiles,
         "validate_profiles": q_validate_profiles,
         "crawl_smoke": q_crawl_smoke,
+        "crawl_stream": q_crawl_stream,
         "phash_neardup": q_phash_neardup,
         "lse_report": q_lse_report,
         "revenue_by_status": q_revenue_by_status,

@@ -47,6 +47,15 @@ per-epoch counters, and defer counts are schedule-dependent; there is
 no replay trace. Use the wave mode when byte-identical replay matters;
 use this mode for latency/throughput.
 
+SCALE SHAPE: URLs, links and pairs bytes flow worker↔shard↔gate only —
+the driver sees counters. Per-lease coordinator traffic is two tiny
+RPCs; at one lease ≈ 128 URLs a single coordinator actor saturates
+around ~10^4 leases/s ≈ 10^6 URLs/s — beyond that (thousands of
+workers on a multi-node cluster), raise ``lease_urls`` first (RPC rate
+falls linearly), then shard the epoch clock the same way the frontier
+is sharded (workers hash to a coordinator by worker id; drain =
+all-coordinators quiesced + Σ shard pending_total == 0, unchanged).
+
 CHECKPOINT/RESUME (``checkpoint_every_fetches``): roughly every N
 fetches the coordinator pauses new leases; one worker wins ownership,
 waits for quiescence (open leases and shard-outstanding both drain to

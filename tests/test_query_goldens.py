@@ -25,6 +25,9 @@ GOLDENS = {
     "parse_profiles": "8250fbc61718e22044f0b28024b0612887aa10f7193a0b8939f092eaf11e6af2",
     "langid": "906beefe8e4e7e96ad3dc96e1abf61881dd6d0562f1bfb53d9ef6855f73ac07e",
     "crawl_smoke": "f3dbfbcc1feb8f904d0eb4a19e84b60d88e9dc5ddf13ab0308e6ffb018dd3c97",
+    # schedule-independent counters only (the stream determinism contract);
+    # stable across 3 back-to-back runs at pin time
+    "crawl_stream": "497c3b08a45112e6809b68bc7e2819d989d872719d2b2e23da1251732500837c",
     "validate_profiles": "d7766900c8b398a6030da9def6d6896d1ee87eef67a36a5a4348d7241c446f28",
     "approx_distinct": "f10231fb47b6822716100090faed2194a47bdeefe67e7f7a322520a785642bd1",
     "approx_quantiles": "cc13dfb6d9e1351a6386362b272a491f5ad12e11bdcad2ea45eb1aaced59564d",
