@@ -241,7 +241,6 @@ class StreamWorker:
         self.parse_fn = cached_parse_batch()
         self.pairs_tmp = os.path.join(cfg.out_dir, "pairs", ".stream.building")
         os.makedirs(self.pairs_tmp, exist_ok=True)
-        self._gate_cache: dict[str, int] = {}
 
     def prime(self) -> int:
         """Build the per-worker fetch/parse state (dictionary load, regex
@@ -256,13 +255,6 @@ class StreamWorker:
         return 1
 
     # -- one lease ---------------------------------------------------------
-    def _gate_of(self, host: str) -> int:
-        g = self._gate_cache.get(host)
-        if g is None:
-            g = self._gate_cache[host] = host_shard(
-                host, 0, self.cfg.num_politeness_shards)
-        return g
-
     def _process(self, df: pd.DataFrame, epoch: int) -> dict:
         import hashlib
 
@@ -270,9 +262,16 @@ class StreamWorker:
 
         ctr = {k: 0 for k in _CTR_KEYS}
         ctr["dequeued"] = len(df)
-        # politeness: one gate() per politeness shard present in the lease
-        gshard = np.fromiter((self._gate_of(h) for h in df["host"]),
-                             dtype=np.int64, count=len(df))
+        # politeness: one gate() per politeness shard present in the lease.
+        # host→gate mapping computed per lease over UNIQUE hosts (bounded
+        # memory — a persistent per-worker host cache would grow with the
+        # crawl's distinct-host count at web scale)
+        hosts_u, inv = np.unique(df["host"].to_numpy(), return_inverse=True)
+        gate_of = np.fromiter(
+            (host_shard(h, 0, self.cfg.num_politeness_shards)
+             for h in hosts_u),
+            dtype=np.int64, count=len(hosts_u))
+        gshard = gate_of[inv]
         decisions = np.empty(len(df), dtype=object)
         futs, idxs = [], []
         for g in np.unique(gshard):
