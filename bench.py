@@ -241,6 +241,12 @@ def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # untimed warm-up: spawn the task-worker pool so the first measured
+    # query doesn't absorb the session's process-startup cost (measured:
+    # first query ~3x its steady-state wall, regardless of which it is)
+    rd.range(1000, override_num_blocks=64).map_batches(
+        lambda b: b, batch_format="pyarrow", num_cpus=1
+    ).count()
     out = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
