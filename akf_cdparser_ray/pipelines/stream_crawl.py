@@ -68,6 +68,14 @@ fragments + later partitions — those rows are still in the restored
 frontier) and continues: a killed run refetches only post-marker work
 and the final pairs union has no duplicates and no losses (test-pinned
 against an uninterrupted run).
+
+FAULT SEMANTICS: stream workers are long-lived actors — an actor death
+mid-lease leaves its lease open and its rows outstanding, so the drain
+barrier (correctly) never fires; recovery is JOB-level: kill the job
+and rerun with ``resume=True`` (bounded by ``checkpoint_every_fetches``
+of rework). This differs from the wave mode, whose fetch/parse run as
+Ray Data TASKS and get Ray's per-task retries for free; the trade is
+deliberate (actor loops are what remove the per-wave launch floor).
 """
 
 from __future__ import annotations

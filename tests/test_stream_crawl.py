@@ -174,6 +174,48 @@ def test_stream_kill_and_resume(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_offer_stream_enqueued_set_is_arrival_order_independent():
+    """The streaming offer's enqueued URL SET must not depend on how the
+    link stream is split across RPCs or their arrival order (the
+    determinism contract's shard-local half). Metadata (depth/priority)
+    may differ across arrival orders — only the set is pinned."""
+    import numpy as np
+    import ray
+
+    from akf_cdparser_ray.stages.dedupe import FrontierShard
+    from akf_cdparser_ray.stages.links import url_hash64
+
+    urls = [f"http://h{i % 5}.example/p{i % 37}.html" for i in range(120)]
+    rows = [(u, url_hash64(u), f"h{i % 5}.example", i % 4)
+            for i, u in enumerate(urls)]  # dup hashes at differing depths
+
+    def drain(shard) -> set:
+        out = set()
+        while True:
+            t = ray.get(shard.dequeue.remote(1000))
+            if not t.num_rows:
+                return out
+            out |= set(t.column("url_canon").to_pylist())
+
+    def offer_in_splits(splits) -> set:
+        shard = FrontierShard.remote(1 << 14)
+        for part in splits:
+            ray.get(shard.offer_stream.remote(
+                [r[0] for r in part], [r[1] for r in part],
+                [r[2] for r in part], [r[3] for r in part], 0))
+        got = drain(shard)
+        ray.kill(shard)
+        return got
+
+    one_call = offer_in_splits([rows])
+    rng = np.random.default_rng(7)
+    perm = [rows[i] for i in rng.permutation(len(rows))]
+    many_calls = offer_in_splits([perm[i::7] for i in range(7)])
+    assert one_call == many_calls
+    assert len(one_call) == len({u for u in urls})
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_stream_max_fetches_cap_stops_early(tmp_path):
     cfg = _stream_cfg(tmp_path, "cap", max_fetches=20, num_workers=1,
                       lease_urls=8)
