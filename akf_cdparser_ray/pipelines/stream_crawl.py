@@ -116,6 +116,9 @@ class StreamCrawlConfig:
     filter_capacity: int = 1 << 16
     seed: int = 42
     max_fetches: int | None = None  # safety stop (None = drain)
+    # per-shard in-memory frontier cap; the sorted tail spills to parquet
+    # runs (same LSM mechanics as wave mode — mandatory at 10^10 URLs)
+    frontier_spill_rows: int | None = None
     # consistent checkpoint roughly every N fetches (None = never).
     # Checkpoints quiesce the fleet (pause new leases, drain in-flight
     # slices), snapshot frontier+filter pages+gate buckets+counters, and
@@ -449,7 +452,11 @@ class StreamCrawlJob:
 
     def __init__(self, cfg: StreamCrawlConfig):
         self.cfg = cfg
-        self.seen = ShardedSeenSet(cfg.num_shards, cfg.filter_capacity)
+        self.seen = ShardedSeenSet(
+            cfg.num_shards, cfg.filter_capacity,
+            spill_threshold=cfg.frontier_spill_rows,
+            spill_dir=(os.path.join(cfg.out_dir, "spill")
+                       if cfg.frontier_spill_rows is not None else None))
         self.gates = [PolitenessShard.remote(cfg.budgets)
                       for _ in range(cfg.num_politeness_shards)]
         self.coord = StreamCoordinator.remote(

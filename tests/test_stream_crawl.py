@@ -174,6 +174,19 @@ def test_stream_kill_and_resume(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_stream_spilled_frontier_same_result(tmp_path):
+    """A tiny per-shard in-memory cap (tail spilled to parquet runs) plus
+    mid-run checkpoints must not change the fetched set — the 10^10-URL
+    memory path exercised end to end."""
+    ref = _run_stream(_stream_cfg(tmp_path, "mem"))
+    res = _run_stream(_stream_cfg(tmp_path, "sp", frontier_spill_rows=16,
+                                  checkpoint_every_fetches=90))
+    assert _pairs_ids(tmp_path / "sp") == _pairs_ids(tmp_path / "mem")
+    assert res["counters"]["fetched"] == ref["counters"]["fetched"]
+    assert res["seen_total"] == ref["seen_total"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_offer_stream_enqueued_set_is_arrival_order_independent():
     """The streaming offer's enqueued URL SET must not depend on how the
     link stream is split across RPCs or their arrival order (the
