@@ -14,7 +14,7 @@ Shape (everything stays off the driver):
 
     StreamWorker[i] loop:
       lease epoch   ← Coordinator.begin_lease()        (tiny RPC)
-      rows          ← FrontierShard[rr].dequeue(L, epoch)
+      rows          ← FrontierShard[rr].dequeue_stream(L, epoch)
       decisions     ← PolitenessShard[g].gate(hosts, urls, epoch)
                       (vectorized robots + epoch-refilled token buckets —
                        the wave-mode gate verbatim, with the lease epoch
