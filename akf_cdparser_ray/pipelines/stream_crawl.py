@@ -403,10 +403,19 @@ class StreamWorker:
         ray.get(self.coord.checkpoint_done.remote())
 
     def run_loop(self) -> int:
-        """Lease until the coordinator drains. Returns leases processed."""
+        """Lease until the coordinator drains. Returns leases processed.
+
+        Idle behavior: an empty sweep backs off exponentially (2→32 ms,
+        reset on work) and only polls the drain barrier once backed off —
+        on a thin frontier dozens of idle workers would otherwise hammer
+        the shard actors with 16 dequeue RPCs plus a 16-RPC drain poll
+        every 2 ms, contending with the productive leases. Sleep times
+        never feed crawl state (determinism holds; only the epoch-clock
+        advance rate — a performance knob — changes)."""
         cfg = self.cfg
         rr = self.wid
         n = 0
+        idle_sleep = 0.002
         while True:
             epoch = ray.get(self.coord.begin_lease.remote())
             if epoch is None:
@@ -431,10 +440,13 @@ class StreamWorker:
             rr = (rr + 1) % cfg.num_shards
             if df is None:
                 ray.get(self.coord.end_lease.remote({"leases": 1}))
-                if ray.get(self.coord.try_drain.remote()):
-                    return n
-                time.sleep(0.002)
+                if idle_sleep >= 0.032:
+                    if ray.get(self.coord.try_drain.remote()):
+                        return n
+                time.sleep(idle_sleep)
+                idle_sleep = min(idle_sleep * 2, 0.032)
                 continue
+            idle_sleep = 0.002
             ctr = self._process(df, epoch)
             ctr["leases"] = 1
             # defer/offer RPCs are acked inside _process; only now may the
