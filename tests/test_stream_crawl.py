@@ -173,6 +173,27 @@ def test_stream_kill_and_resume(tmp_path):
     assert c["pairs_rows"] == len(ids)
 
 
+def test_stream_real_sigkill_resume():
+    """Shells out to the hard-kill harness: a checkpointed crawl in its
+    own process group, SIGKILLed mid-run, resumed in a fresh process —
+    the assertions (unique ids, set == uninterrupted reference) live in
+    the harness. Runs outside the session Ray cluster by design."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "stream_kill_resume.py"),
+         "2000", "3"],
+        capture_output=True, text=True, timeout=500,
+    )
+    assert out.returncode == 0, out.stdout[-500:] + out.stderr[-500:]
+    last = json.loads(out.stdout.strip().splitlines()[-1])
+    assert last["ids_unique"] and last["set_matches_reference"]
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_stream_spilled_frontier_same_result(tmp_path):
     """A tiny per-shard in-memory cap (tail spilled to parquet runs) plus
