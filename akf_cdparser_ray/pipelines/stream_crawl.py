@@ -388,7 +388,15 @@ class StreamWorker:
         payloads = ray.get([g.serialize.remote() for g in self.gates])
         state = ray.get(self.coord.state.remote())
         with open(os.path.join(ckdir, "state.json"), "w") as f:
-            json.dump({"gates": payloads, "coord": state}, f)
+            json.dump({"gates": payloads, "coord": state,
+                       # resume must keep the hash-partitioning shape: a
+                       # different shard count would probe url hashes
+                       # against the wrong filter page (silent dupes)
+                       "shape": {"num_shards": cfg.num_shards,
+                                 "num_politeness_shards":
+                                     cfg.num_politeness_shards,
+                                 "corpus_size": cfg.corpus_size,
+                                 "seed": cfg.seed}}, f)
         if os.path.isdir(self.pairs_tmp):
             frags = glob.glob(os.path.join(self.pairs_tmp, "*.parquet"))
             rows = sum(pq.read_metadata(p).num_rows for p in frags)
@@ -539,6 +547,15 @@ class StreamCrawlJob:
         ckdir = os.path.join(out, "ckpt", f"seq{seq:04d}")
         with open(os.path.join(ckdir, "state.json")) as f:
             st = json.load(f)
+        shape = st.get("shape", {})
+        mine = {"num_shards": self.cfg.num_shards,
+                "num_politeness_shards": self.cfg.num_politeness_shards,
+                "corpus_size": self.cfg.corpus_size, "seed": self.cfg.seed}
+        if shape and shape != mine:
+            raise ValueError(
+                f"stream resume config mismatch: checkpoint {shape} vs "
+                f"job {mine} — the hash-partitioning shape must not change "
+                "across a resume")
         ray.get([
             s.restore.remote(os.path.join(ckdir, f"frontier-{i}.parquet"),
                              os.path.join(ckdir, f"filter-{i}.bin"))

@@ -230,7 +230,12 @@ def crawl_urls_per_sec(num_cpus: int) -> dict:
         res = _stream_crawl_once(60000)
         if stream is None or res["urls_per_sec"] > stream["urls_per_sec"]:
             stream = res
-    stream["small"] = _stream_crawl_once(10000)
+    ssmall = None
+    for _trial in range(2):
+        res = _stream_crawl_once(10000)
+        if ssmall is None or res["urls_per_sec"] > ssmall["urls_per_sec"]:
+            ssmall = res
+    stream["small"] = ssmall
     best["stream"] = stream
     return best
 

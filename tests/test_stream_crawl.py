@@ -173,6 +173,25 @@ def test_stream_kill_and_resume(tmp_path):
     assert c["pairs_rows"] == len(ids)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_stream_resume_rejects_reshard(tmp_path):
+    """Resuming with a different shard count would probe url hashes
+    against the wrong filter pages (silent duplicates) — must raise."""
+    from akf_cdparser_ray.pipelines.stream_crawl import StreamCrawlJob
+
+    cfg = _stream_cfg(tmp_path, "rs", checkpoint_every_fetches=60,
+                      max_fetches=100)
+    job = StreamCrawlJob(cfg)
+    job.run(finalize=False)
+    job.shutdown()
+    bad = _stream_cfg(tmp_path, "rs", num_shards=8,
+                      checkpoint_every_fetches=60)
+    job2 = StreamCrawlJob(bad)
+    with pytest.raises(ValueError, match="config mismatch"):
+        job2.run(resume=True)
+    job2.shutdown()
+
+
 def test_stream_real_sigkill_resume():
     """Shells out to the hard-kill harness: a checkpointed crawl in its
     own process group, SIGKILLed mid-run, resumed in a fresh process —
