@@ -292,6 +292,18 @@ class CrawlJob:
         last_dir = os.path.join(root, waves[-1])
         with open(os.path.join(last_dir, "meta.json")) as f:
             meta = json.load(f)
+        lin = meta.get("lineage", {})
+        # resuming with a different shard count would probe url hashes
+        # against the wrong filter pages (silent duplicate fetches) and
+        # break the replay trace; different seeds/corpus likewise
+        mine = {"num_shards": self.cfg.num_shards,
+                "seeds": self.cfg.seeds,
+                "corpus_size": self.cfg.corpus_size}
+        if lin and lin != mine:
+            raise ValueError(
+                f"crawl resume config mismatch: checkpoint lineage {lin} "
+                f"vs job {mine} — the hash-partitioning shape must not "
+                "change across a resume")
         self.wave = meta["wave"]
         self.trace_len = meta["trace_len"]
         self.frontier_rows = sum(meta["frontier_rows"])

@@ -190,6 +190,21 @@ def test_crawl_kill_and_resume(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_crawl_resume_rejects_reshard(tmp_path):
+    """Resuming with a different shard count would probe url hashes
+    against the wrong filter pages — must raise, not silently corrupt."""
+    from akf_cdparser_ray.pipelines.crawl import CrawlJob
+
+    job = CrawlJob(_mk_cfg(tmp_path, "rs", max_waves=2))
+    job.run()
+    job.shutdown()
+    bad = CrawlJob(_mk_cfg(tmp_path, "rs", max_waves=3, num_shards=8))
+    with pytest.raises(ValueError, match="config mismatch"):
+        bad.run(resume=True)
+    bad.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_politeness_caps_hot_host(tmp_path):
     from akf_cdparser_ray.pipelines.crawl import CrawlJob
 
