@@ -30,11 +30,15 @@ Termination is a sound drain barrier with shard-local accounting: a
 dequeue marks its rows *outstanding* at the shard atomically with their
 removal, and the worker completes the slice only after its defer/offer
 RPCs are acked — so every pending row is visible in exactly one shard's
-``pending_total`` (queued + deferred + in-flight) at every instant. A
-worker whose full sweep comes up empty asks the Coordinator, which
-declares drain iff the sum over shards is zero. (A coordinator-side
-busy-lease counter is NOT sound here: with W spinning workers some
-lease is nearly always open and the drain check never fires.)
+``pending_total`` (queued + deferred + in-flight) at every instant.
+Because a multi-shard read is not an instantaneous snapshot, the proof
+is a DOUBLE POLL with per-shard op generations (see
+StreamWorker._drain_check): two sequential all-shard polls, both
+zero-sum, identical generation vectors. (Two earlier designs were
+unsound: a coordinator busy-lease counter — idle spinning workers keep
+some lease open ~always, drain never fires — and a single zero-sum
+poll — a cross-shard link transfer can slip between the destination's
+read and the source's read.)
 
 DETERMINISM CONTRACT (weaker than waves, by design — documented where
 the wave mode's is load-bearing): on a drained crawl the fetched URL
@@ -80,7 +84,6 @@ deliberate (actor loops are what remove the per-wave launch floor).
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
@@ -216,21 +219,16 @@ class StreamCoordinator:
         if self._ckpt_every is not None:
             self._next_ckpt = self._ctr["fetched"] + self._ckpt_every
 
-    def try_drain(self) -> bool:
-        """Called by a worker whose full shard sweep came up empty. Sound
-        without any busy-counting (a coordinator-side busy counter races:
-        with W spinning workers some lease is nearly always open): each
-        shard counts rows it handed out and not yet completed as
-        *outstanding*, atomically with the dequeue, and workers complete a
-        slice only after its defer/offer RPCs are acked. So every pending
-        row is visible in exactly one shard's ``pending_total`` at every
-        instant, and a zero sum proves no work exists anywhere."""
-        if self._drained:
-            return True
-        sizes = ray.get([sh.pending_total.remote() for sh in self._shards])
-        if sum(sizes) == 0:
-            self._drained = True
+    def is_drained(self) -> bool:
         return self._drained
+
+    def declare_drained(self) -> None:
+        """Latched by a worker that produced a drain proof (see
+        StreamWorker._drain_check). Keeping the polling OUT of this actor
+        keeps every coordinator method O(1) — a blocking shard fan-out
+        here would queue the whole fleet's begin/end_lease RPCs behind
+        each idle drain poll."""
+        self._drained = True
 
     def counters(self) -> dict:
         return dict(self._ctr)
@@ -285,11 +283,12 @@ class StreamWorker:
         gshard = gate_of[inv]
         decisions = np.empty(len(df), dtype=object)
         futs, idxs = [], []
+        host_arr = df["host"].to_numpy()
+        url_arr = df["url_canon"].to_numpy()
         for g in np.unique(gshard):
             sel = np.flatnonzero(gshard == g)
             futs.append(self.gates[int(g)].gate.remote(
-                [df["host"].iloc[i] for i in sel],
-                [df["url_canon"].iloc[i] for i in sel], epoch, {}))
+                host_arr[sel].tolist(), url_arr[sel].tolist(), epoch, {}))
             idxs.append(sel)
         for sel, dec in zip(idxs, ray.get(futs)):
             decisions[sel] = dec
@@ -370,45 +369,69 @@ class StreamWorker:
         promote the pairs fragments accumulated since the last checkpoint,
         then write the marker ATOMICALLY and LAST — a kill anywhere in
         this sequence resumes from the previous marker, refetching (never
-        duplicating) the rows promoted or fetched after it."""
-        import pyarrow.parquet as pq
+        duplicating) the rows promoted or fetched after it.
 
+        On ANY failure the coordinator is unpaused before the error
+        propagates (checkpoint_done without a marker = this attempt is
+        simply skipped; the next one triggers a full fetch-interval
+        later) — otherwise a disk-full mid-checkpoint would leave every
+        worker spinning on 'pause' forever."""
         cfg = self.cfg
         while not ray.get(self.coord.quiesced.remote()):
             time.sleep(0.002)
         while sum(ray.get([s.outstanding.remote() for s in self.shards])):
             time.sleep(0.002)
-        ckdir = os.path.join(cfg.out_dir, "ckpt", f"seq{seq:04d}")
-        os.makedirs(ckdir, exist_ok=True)
-        ray.get([
-            s.checkpoint.remote(os.path.join(ckdir, f"frontier-{i}.parquet"),
-                                os.path.join(ckdir, f"filter-{i}.bin"))
-            for i, s in enumerate(self.shards)
-        ])
-        payloads = ray.get([g.serialize.remote() for g in self.gates])
-        state = ray.get(self.coord.state.remote())
-        with open(os.path.join(ckdir, "state.json"), "w") as f:
-            json.dump({"gates": payloads, "coord": state,
-                       # resume must keep the hash-partitioning shape: a
-                       # different shard count would probe url hashes
-                       # against the wrong filter page (silent dupes)
-                       "shape": {"num_shards": cfg.num_shards,
-                                 "num_politeness_shards":
-                                     cfg.num_politeness_shards,
-                                 "corpus_size": cfg.corpus_size,
-                                 "seed": cfg.seed}}, f)
-        if os.path.isdir(self.pairs_tmp):
-            frags = glob.glob(os.path.join(self.pairs_tmp, "*.parquet"))
-            rows = sum(pq.read_metadata(p).num_rows for p in frags)
-            aio.finalize_partition(
+        try:
+            ckdir = os.path.join(cfg.out_dir, "ckpt", f"seq{seq:04d}")
+            os.makedirs(ckdir, exist_ok=True)
+            ray.get([
+                s.checkpoint.remote(
+                    os.path.join(ckdir, f"frontier-{i}.parquet"),
+                    os.path.join(ckdir, f"filter-{i}.bin"))
+                for i, s in enumerate(self.shards)
+            ])
+            payloads = ray.get([g.serialize.remote() for g in self.gates])
+            state = ray.get(self.coord.state.remote())
+            with open(os.path.join(ckdir, "state.json"), "w") as f:
+                json.dump({"gates": payloads, "coord": state,
+                           # resume must keep the hash-partitioning shape:
+                           # a different shard count would probe url hashes
+                           # against the wrong filter page (silent dupes)
+                           "shape": {"num_shards": cfg.num_shards,
+                                     "num_politeness_shards":
+                                         cfg.num_politeness_shards,
+                                     "corpus_size": cfg.corpus_size,
+                                     "seed": cfg.seed}}, f)
+            aio.promote_fragments(
                 os.path.join(cfg.out_dir, "pairs"), f"stream-part{seq:04d}",
-                self.pairs_tmp, rows=rows,
-                lineage={"mode": "stream", "ckpt": seq})
-        tmp = os.path.join(cfg.out_dir, "stream_ckpt.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"seq": seq}, f)
-        os.replace(tmp, os.path.join(cfg.out_dir, "stream_ckpt.json"))
-        ray.get(self.coord.checkpoint_done.remote())
+                self.pairs_tmp, lineage={"mode": "stream", "ckpt": seq})
+            tmp = os.path.join(cfg.out_dir, "stream_ckpt.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"seq": seq}, f)
+            os.replace(tmp, os.path.join(cfg.out_dir, "stream_ckpt.json"))
+        finally:
+            ray.get(self.coord.checkpoint_done.remote())
+
+    def _drain_check(self) -> bool:
+        """Double-poll drain proof. A fanned-out multi-shard read is NOT
+        an instantaneous snapshot: with a single poll, a cross-shard link
+        transfer can slip between the destination's read (before the
+        offer lands) and the source's read (after the worker completes) —
+        both report zero while work exists. Two SEQUENTIAL all-shard
+        polls that both sum to zero with identical per-shard op
+        generations close that window: any in-flight offer must land
+        before its source shard can read zero in poll one, so it bumps
+        the destination's generation before poll two reads it."""
+        if ray.get(self.coord.is_drained.remote()):
+            return True
+        first = ray.get([s.pending_snapshot.remote() for s in self.shards])
+        if sum(p for p, _ in first):
+            return False
+        second = ray.get([s.pending_snapshot.remote() for s in self.shards])
+        if sum(p for p, _ in second) or first != second:
+            return False
+        ray.get(self.coord.declare_drained.remote())
+        return True
 
     def run_loop(self) -> int:
         """Lease until the coordinator drains. Returns leases processed.
@@ -448,9 +471,8 @@ class StreamWorker:
             rr = (rr + 1) % cfg.num_shards
             if df is None:
                 ray.get(self.coord.end_lease.remote({"leases": 1}))
-                if idle_sleep >= 0.032:
-                    if ray.get(self.coord.try_drain.remote()):
-                        return n
+                if idle_sleep >= 0.032 and self._drain_check():
+                    return n
                 time.sleep(idle_sleep)
                 idle_sleep = min(idle_sleep * 2, 0.032)
                 continue
@@ -522,6 +544,17 @@ class StreamCrawlJob:
         ray.get(acks)
         return len(df)
 
+    @staticmethod
+    def _drop_stream_partitions(pairs_root: str, after_seq: int) -> None:
+        """Roll back stream-final plus every stream-part beyond
+        ``after_seq`` (dir + manifest entry) — their rows are refetched."""
+        for key in list(aio.load_manifest(pairs_root)["partitions"]):
+            if key == "stream-final" or (
+                key.startswith("stream-part")
+                and int(key[len("stream-part"):]) > after_seq
+            ):
+                aio.drop_partition(pairs_root, key)
+
     def _restore(self) -> bool:
         """Resume from the last complete checkpoint marker. Rolls back
         pairs partitions promoted after the marker and orphan building
@@ -535,15 +568,16 @@ class StreamCrawlJob:
         marker = os.path.join(out, "stream_ckpt.json")
         shutil.rmtree(building, ignore_errors=True)
         if not os.path.exists(marker):
+            # no complete checkpoint ⇒ fresh recrawl, so ANY promoted
+            # stream partition is stale (the window: a first checkpoint
+            # killed between pairs promotion and its marker write would
+            # otherwise leave rows that the fresh run fetches again —
+            # silent duplicates)
+            self._drop_stream_partitions(pairs_root, after_seq=-1)
             return False
         with open(marker) as f:
             seq = int(json.load(f)["seq"])
-        for key in list(aio.load_manifest(pairs_root)["partitions"]):
-            if key == "stream-final" or (
-                key.startswith("stream-part")
-                and int(key[len("stream-part"):]) > seq
-            ):
-                aio.drop_partition(pairs_root, key)
+        self._drop_stream_partitions(pairs_root, after_seq=seq)
         ckdir = os.path.join(out, "ckpt", f"seq{seq:04d}")
         with open(os.path.join(ckdir, "state.json")) as f:
             st = json.load(f)
@@ -571,21 +605,23 @@ class StreamCrawlJob:
         killed run from its last checkpoint marker (fresh start if none).
         ``finalize=False`` skips the final pairs promotion — test hook to
         simulate a kill after the workers stop."""
+        pairs_root = os.path.join(self.cfg.out_dir, "pairs")
         n_seeds = 0
         if not (resume and self._restore()):
+            # fresh start into a possibly-dirty out_dir: stale building
+            # fragments and stream partitions would duplicate this run's
+            shutil.rmtree(os.path.join(pairs_root, ".stream.building"),
+                          ignore_errors=True)
+            if os.path.isdir(pairs_root):
+                self._drop_stream_partitions(pairs_root, after_seq=-1)
             n_seeds = self._seed()
         futs = [w.run_loop.remote() for w in self.workers]
         leases = ray.get(futs)
         ctr = ray.get(self.coord.counters.remote())
-        pairs_root = os.path.join(self.cfg.out_dir, "pairs")
-        tmp = os.path.join(pairs_root, ".stream.building")
-        if finalize and os.path.isdir(tmp):
-            import pyarrow.parquet as pq
-
-            frags = glob.glob(os.path.join(tmp, "*.parquet"))
-            rows = sum(pq.read_metadata(p).num_rows for p in frags)
-            aio.finalize_partition(
-                pairs_root, "stream-final", tmp, rows=rows,
+        if finalize:
+            aio.promote_fragments(
+                pairs_root, "stream-final",
+                os.path.join(pairs_root, ".stream.building"),
                 lineage={"mode": "stream", "seeds": n_seeds,
                          "fetched": ctr["fetched"]})
         return {

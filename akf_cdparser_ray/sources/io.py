@@ -72,6 +72,26 @@ def partition_done(root: str, key: str) -> bool:
     return key in load_manifest(root)["partitions"]
 
 
+def promote_fragments(root: str, key: str, tmpdir: str,
+                      lineage: dict | None = None) -> int:
+    """Promote a directory of worker-written ``part-*.parquet`` fragments
+    to a final partition: count rows from the parquet footers, then
+    ``finalize_partition``. Returns the promoted row count (0 and no-op
+    when the building dir is absent). Shared by the streaming crawl's
+    checkpoint promotion and its end-of-run finalize — one copy of the
+    accounting that the kill-resume invariant depends on."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    if not os.path.isdir(tmpdir):
+        return 0
+    frags = _glob.glob(os.path.join(tmpdir, "*.parquet"))
+    rows = sum(_pq.read_metadata(p).num_rows for p in frags)
+    finalize_partition(root, key, tmpdir, rows=rows, lineage=lineage)
+    return rows
+
+
 def drop_partition(root: str, key: str) -> bool:
     """Remove a partition (dir + manifest entry), idempotently. Used by
     resume paths to roll back partitions promoted after the last complete

@@ -185,8 +185,11 @@ class FrontierShard:
         self.spill_path = spill_path  # path prefix for run files
         self.spill_runs: list[dict] = []  # {path, rows, best_key}
         self.spill_seq = 0
-        # streaming-mode in-flight accounting (see dequeue_stream)
+        # streaming-mode in-flight accounting (see dequeue_stream);
+        # _op_gen counts every state-changing stream op so the drain
+        # check can detect activity between two non-atomic snapshot polls
         self._outstanding = 0
+        self._op_gen = 0
 
     # -- URL-seen membership ------------------------------------------------
     def check_and_add(self, hashes: list[int]) -> list[bool]:
@@ -273,6 +276,7 @@ class FrontierShard:
             )
             self._add_run(_sort_run(run))
             self._maybe_spill()
+            self._op_gen += 1
         return len(new_items)
 
     def enqueue_flush(self, wave: int, expected: int | None = None,
@@ -389,6 +393,7 @@ class FrontierShard:
         the driver through check_and_add)."""
         if len(rows):
             self._add_run(_sort_run(rows[FRONTIER_COLS]))
+            self._op_gen += 1
         return sum(len(r) for r in self.runs)
 
     def _migrate_future(self, wave: int | None) -> None:
@@ -495,6 +500,7 @@ class FrontierShard:
                 self._add_run(run)
             else:
                 self.future.append((wave + 1, run))
+            self._op_gen += 1
         return len(rows)
 
     def frontier_size(self) -> int:
@@ -513,13 +519,16 @@ class FrontierShard:
         coordinator-side busy counting (that version raced: idle workers'
         leases kept busy>0 forever)."""
         tbl = self.dequeue(k, epoch)
-        self._outstanding += tbl.num_rows
+        if tbl.num_rows:
+            self._outstanding += tbl.num_rows
+            self._op_gen += 1
         return tbl
 
     def complete_stream(self, n: int) -> int:
         """Worker finished a leased slice (defers and offers already
         acked). Returns remaining outstanding rows."""
         self._outstanding -= int(n)
+        self._op_gen += 1
         assert self._outstanding >= 0, "complete_stream over-ack"
         return self._outstanding
 
@@ -527,6 +536,16 @@ class FrontierShard:
         """Queued + deferred + in-flight rows owned by this shard — the
         streaming drain check (zero everywhere ⇒ no work exists)."""
         return self.frontier_size() + self._outstanding
+
+    def pending_snapshot(self) -> tuple[int, int]:
+        """(pending_total, op generation) — the drain check's double-poll
+        unit. A fanned-out multi-shard read is not an instantaneous
+        snapshot; two sequential all-shard polls that BOTH sum to zero
+        with IDENTICAL generation vectors prove quiescence (any in-flight
+        link transfer lands before the first poll's source-shard read and
+        therefore bumps the destination's generation before the second
+        poll reads it)."""
+        return self.frontier_size() + self._outstanding, self._op_gen
 
     def outstanding(self) -> int:
         """In-flight rows only (streaming checkpoint quiescence poll)."""

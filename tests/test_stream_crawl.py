@@ -174,6 +174,35 @@ def test_stream_kill_and_resume(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_stream_resume_without_marker_rolls_back_partitions(tmp_path):
+    """Crash window: a first checkpoint promoted its pairs partition but
+    died before writing the marker. Resume finds no marker ⇒ fresh
+    recrawl — it must drop the orphaned partitions or the refetched rows
+    duplicate them. The resume run deliberately has checkpointing OFF
+    (the natural `crawl --stream --resume` CLI shape), so nothing would
+    overwrite the stale partition."""
+    from akf_cdparser_ray.pipelines.stream_crawl import StreamCrawlJob
+
+    ref = _run_stream(_stream_cfg(tmp_path, "full2"))
+
+    job = StreamCrawlJob(_stream_cfg(tmp_path, "nm",
+                                     checkpoint_every_fetches=80))
+    job.run(finalize=False)
+    job.shutdown()
+    parts = aio.load_manifest(str(tmp_path / "nm" / "pairs"))["partitions"]
+    assert any(k.startswith("stream-part") for k in parts)  # promoted
+    (tmp_path / "nm" / "stream_ckpt.json").unlink()  # marker never landed
+
+    job2 = StreamCrawlJob(_stream_cfg(tmp_path, "nm"))
+    job2.run(resume=True)
+    job2.shutdown()
+    ids = aio.read_partitions(str(tmp_path / "nm" / "pairs")) \
+        .column("image_id").to_pylist()
+    assert len(ids) == len(set(ids))
+    assert set(ids) == _pairs_ids(tmp_path / "full2")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_stream_resume_rejects_reshard(tmp_path):
     """Resuming with a different shard count would probe url hashes
     against the wrong filter pages (silent duplicates) — must raise."""
