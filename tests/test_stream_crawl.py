@@ -239,7 +239,7 @@ def test_stream_real_sigkill_resume():
     )
     assert out.returncode == 0, out.stdout[-500:] + out.stderr[-500:]
     last = json.loads(out.stdout.strip().splitlines()[-1])
-    assert last["ids_unique"] and last["set_matches_reference"]
+    assert last["multiset_matches_reference"]
 
 
 @pytest.mark.usefixtures("ray_session")
