@@ -761,6 +761,18 @@ def q_hash_split(sf_dir: str):
     return out.sort("split")
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis A-ES keyed by md5-uniform, weight = document length): the
+    50 winning (doc_id, n_chars) rows — hash-exact vs the SQL pow
+    mirror (same IEEE pow on this host)."""
+    from akf_cdparser_ray.stages.sampling import weighted_sample_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = weighted_sample_k(ds, "doc_id", "n_chars", k=50, salt="ws")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_curate(sf_dir: str):
     """The full curation funnel (quality → exact dedup → near-dup cluster
     drop → PII scrub → packing) composed end-to-end; one-row summary of
@@ -877,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary": q_vocabulary,
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
+        "weighted_sample": q_weighted_sample,
         "interval_join": q_interval_join,
         "chunk_dedup": q_chunk_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -971,6 +984,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
             LIMIT 20
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       pow((CAST(md5_number_lower(
+                                CAST(doc_id AS VARCHAR) || 'ws')
+                             AS DOUBLE) + 1.0) / 18446744073709551616.0,
+                           1.0 / n_chars) AS s
+                FROM documents WHERE n_chars > 0
+                ORDER BY s DESC, doc_id ASC LIMIT 50
+            ) ORDER BY doc_id
         """,
         "vocabulary": """
             WITH toks AS (

@@ -145,3 +145,39 @@ def bottom_k_sample(ds, key: str, k: int, salt: str = "",
         .reset_index(drop=True)
     )
     return out
+
+
+def weighted_sample_k(ds, key: str, weight: str, k: int, salt: str = "",
+                      hash_mode: str = "md5"):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws the uniform u = (hash(key)+1)/2^64
+    and scores u**(1/weight); the k largest scores are the sample, so a
+    row's inclusion odds scale with its weight — the standard primitive
+    for weighted training-data mixing, with the RNG replaced by the key
+    hash (reproducible across runs, partitionings and resumes, like
+    every operator here). Rows with weight <= 0 are excluded.
+
+    Mergeable shape: each block reduces to its own top-k, the driver
+    merges k*num_blocks candidates. SQL mirror (hash-exact, same libm
+    pow): ORDER BY pow((CAST(md5_number_lower(key||salt) AS DOUBLE)+1)
+    / 2^64, 1.0/weight) DESC, key LIMIT k."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[weight] > 0]
+        if not len(batch):
+            return batch
+        h = _hash_col(batch[key].tolist(), salt, hash_mode)
+        u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
+        score = np.power(u, 1.0 / batch[weight].to_numpy(np.float64))
+        return (
+            batch.assign(_s=score)
+            .sort_values(["_s", key], ascending=[False, True])
+            .head(k)
+        )
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["_s", key], ascending=[False, True])
+        .head(k)
+        .drop(columns=["_s"])
+        .reset_index(drop=True)
+    )

@@ -67,6 +67,40 @@ def test_bottom_k_partition_invariant():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_k():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sampling import weighted_sample_k
+
+    n = 1500
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "w": (np.arange(n) % 97 + 1).astype(np.int64),
+    })
+    df.loc[5, "w"] = 0  # must be excluded
+    ds = rd.from_pandas(df)
+
+    out = weighted_sample_k(ds, "doc_id", "w", k=40, salt="s")
+    # brute-force A-ES reference over the whole frame
+    u = (np.array([md5_lower64(str(i) + "s") for i in df.doc_id],
+                  dtype=np.float64) + 1.0) / 2.0 ** 64
+    score = np.where(df.w > 0, u ** (1.0 / np.maximum(df.w, 1)), -1.0)
+    ref = df.assign(_s=score).sort_values(
+        ["_s", "doc_id"], ascending=[False, True]).head(40)
+    assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert 5 not in out["doc_id"].tolist()
+
+    # partitioning-independent selection
+    out2 = weighted_sample_k(ds.repartition(11), "doc_id", "w", k=40,
+                             salt="s")
+    assert out2["doc_id"].tolist() == out["doc_id"].tolist()
+
+    # weights bias inclusion: heavy rows should dominate the sample
+    heavy_share = (out["w"] > 48).mean()
+    assert heavy_share > 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_interval_join_matches_bruteforce():
     import ray.data as rd
 
