@@ -761,6 +761,18 @@ def q_hash_split(sf_dir: str):
     return out.sort("split")
 
 
+def q_bm25(sf_dir: str):
+    """BM25 lexical retrieval for the fixed query (hash, merge, window):
+    top-10 documents by score, doc_id tie-break; returns integer columns
+    (doc_id, tf_total) only. Hash-exact vs the SQL mirror: identical
+    tokenizer (the vocabulary oracle's RE2 class), identical expression
+    parenthesization, sequential term-order accumulation, same libm ln."""
+    from akf_cdparser_ray.stages.text_analysis import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "merge", "window"], k=10)
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample without replacement (Efraimidis-
     Spirakis A-ES keyed by md5-uniform, weight = document length): the
@@ -890,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "weighted_sample": q_weighted_sample,
+        "bm25": q_bm25,
         "interval_join": q_interval_join,
         "chunk_dedup": q_chunk_dedup,
         "dedup_clusters": q_dedup_clusters,
@@ -984,6 +997,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
             LIMIT 20
+        """,
+        "bm25": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-zäöüß0-9_]+')) AS term
+                FROM documents
+            ),
+            perdoc AS (
+                SELECT doc_id,
+                       count(*) AS dl,
+                       count(*) FILTER (term = 'hash')   AS tf0,
+                       count(*) FILTER (term = 'merge')  AS tf1,
+                       count(*) FILTER (term = 'window') AS tf2
+                FROM toks GROUP BY doc_id
+            ),
+            stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT count(*) FROM toks) AS sum_dl,
+                       (SELECT count(*) FROM perdoc WHERE tf0 > 0) AS df0,
+                       (SELECT count(*) FROM perdoc WHERE tf1 > 0) AS df1,
+                       (SELECT count(*) FROM perdoc WHERE tf2 > 0) AS df2
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       (p.tf0 + p.tf1 + p.tf2) AS tf_total,
+                       (ln((((s.n - s.df0) + 0.5) / (s.df0 + 0.5)) + 1.0)
+                          * (p.tf0 * (1.2 + 1.0)))
+                         / (p.tf0 + (1.2 * ((1.0 - 0.75)
+                              + 0.75 * (p.dl / (CAST(s.sum_dl AS DOUBLE) / s.n)))))
+                       + (ln((((s.n - s.df1) + 0.5) / (s.df1 + 0.5)) + 1.0)
+                          * (p.tf1 * (1.2 + 1.0)))
+                         / (p.tf1 + (1.2 * ((1.0 - 0.75)
+                              + 0.75 * (p.dl / (CAST(s.sum_dl AS DOUBLE) / s.n)))))
+                       + (ln((((s.n - s.df2) + 0.5) / (s.df2 + 0.5)) + 1.0)
+                          * (p.tf2 * (1.2 + 1.0)))
+                         / (p.tf2 + (1.2 * ((1.0 - 0.75)
+                              + 0.75 * (p.dl / (CAST(s.sum_dl AS DOUBLE) / s.n)))))
+                       AS s
+                FROM perdoc p, stats s
+                WHERE (p.tf0 + p.tf1 + p.tf2) > 0
+            )
+            SELECT doc_id, tf_total FROM (
+                SELECT doc_id, tf_total FROM scored
+                ORDER BY s DESC, doc_id ASC LIMIT 10
+            ) ORDER BY doc_id
         """,
         "weighted_sample": """
             SELECT doc_id, n_chars FROM (

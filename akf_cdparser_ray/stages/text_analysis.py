@@ -196,6 +196,86 @@ def vocabulary(ds, top_k: int = 100):
 
 
 # ---------------------------------------------------------------------------
+# BM25 lexical top-k (the text half of the similarity-search family;
+# embeddings are covered by stages/ann)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(ds, terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """Okapi BM25 document retrieval for a fixed term list: the top-k
+    docs by score, with ties broken doc_id-ascending. Two passes, both
+    distributed and tiny on the wire:
+
+    1. global stats — per-batch partial (n_docs, Σdl, per-term df) rows,
+       summed driver-side (one row per batch);
+    2. scoring — stats broadcast into a stateless ``map_batches`` that
+       emits each batch's own top-k candidates; the driver merges
+       k·num_blocks candidate rows.
+
+    Float discipline (the DuckDB mirror is hash-exact): the per-term
+    contributions are accumulated SEQUENTIALLY in term order, matching
+    SQL's left-to-right ``+``; every expression is parenthesized the
+    same way on both sides, and idf/ln hit the same libm. Returns
+    (doc_id, tf_total) sorted by doc_id — integer columns only."""
+    import math
+
+    terms = list(terms)
+
+    def _tok(batch: pd.DataFrame) -> list[list[str]]:
+        return [_VOCAB_TOKEN_RE.findall(str(t).lower())
+                for t in batch["text"].fillna("")]
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tok(batch)
+        row = {
+            "n": pd.Series([len(toks)], dtype="int64"),
+            "sum_dl": pd.Series([sum(len(ts) for ts in toks)],
+                                dtype="int64"),
+        }
+        for i, term in enumerate(terms):
+            row[f"df{i}"] = pd.Series(
+                [sum(1 for ts in toks if term in ts)], dtype="int64")
+        return pd.DataFrame(row)
+
+    stats = ds.map_batches(stats_partial, batch_format="pandas") \
+        .to_pandas().sum()
+    n = int(stats["n"])
+    avgdl = int(stats["sum_dl"]) / n
+    idf = [math.log((n - int(stats[f"df{i}"]) + 0.5)
+                    / (int(stats[f"df{i}"]) + 0.5) + 1.0)
+           for i in range(len(terms))]
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tok(batch)
+        dl = np.array([len(ts) for ts in toks], dtype=np.float64)
+        norm = k1 * ((1.0 - b) + b * (dl / avgdl))
+        score = np.zeros(len(toks))
+        tf_total = np.zeros(len(toks), dtype=np.int64)
+        for i, term in enumerate(terms):
+            tf = np.array([ts.count(term) for ts in toks],
+                          dtype=np.float64)
+            score = score + (idf[i] * (tf * (k1 + 1.0))) / (tf + norm)
+            tf_total += tf.astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "tf_total": tf_total,
+            "_s": score,
+        })
+        out = out[out["tf_total"] > 0]
+        return out.sort_values(["_s", "doc_id"],
+                               ascending=[False, True]).head(k)
+
+    cand = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
+    top = (
+        cand.sort_values(["_s", "doc_id"], ascending=[False, True])
+        .head(k)
+        .drop(columns=["_s"])
+    )
+    return top.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing (redaction)
 # ---------------------------------------------------------------------------
 

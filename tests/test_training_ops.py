@@ -559,3 +559,50 @@ def test_embedding_adaptive_bucket_split():
         bucket_cap=10, full_bits=14,
     )
     assert len(blocked) == 40 * 39 // 2  # scaling preserves cosine exactly
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_topk_matches_bruteforce():
+    """BM25 top-k equals a whole-corpus pandas reference (same tokenizer,
+    same formula), and the selection is partition-count independent."""
+    import math
+
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.text_analysis import _VOCAB_TOKEN_RE, bm25_topk
+
+    rng = np.random.default_rng(11)
+    words = ["hash", "merge", "window", "scan", "row", "the", "a"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 40)))
+             for _ in range(400)]
+    texts[7] = ""  # empty doc: counts toward N, never matches
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                       "text": texts})
+    terms, k1, b = ["hash", "merge", "window"], 1.2, 0.75
+
+    out = bm25_topk(rd.from_pandas(df), terms, k=12)
+    out2 = bm25_topk(rd.from_pandas(df).repartition(9), terms, k=12)
+    assert out.equals(out2)
+
+    # brute force
+    toks = [_VOCAB_TOKEN_RE.findall(t.lower()) for t in texts]
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks) / n
+    score = np.zeros(n)
+    tf_total = np.zeros(n, dtype=np.int64)
+    for term in terms:
+        df_t = sum(1 for ts in toks if term in ts)
+        idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        tf = np.array([ts.count(term) for ts in toks], dtype=np.float64)
+        dl = np.array([len(ts) for ts in toks], dtype=np.float64)
+        score = score + (idf * (tf * (k1 + 1.0))) / (
+            tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+        tf_total += tf.astype(np.int64)
+    ref = (pd.DataFrame({"doc_id": df.doc_id, "tf_total": tf_total,
+                         "_s": score})
+           .query("tf_total > 0")
+           .sort_values(["_s", "doc_id"], ascending=[False, True])
+           .head(12)
+           .sort_values("doc_id"))
+    assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert out["tf_total"].tolist() == ref["tf_total"].tolist()
