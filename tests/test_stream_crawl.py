@@ -122,6 +122,13 @@ def test_stream_politeness_limited_still_drains(tmp_path):
     assert c["fetched"] + c["http_404"] + c["robots_denied"] == res["seen_total"]
     assert c["deferred"] > 0  # budgets actually bit
     assert c["fetched"] > 0
+    # budgets only DEFER, never deny: the drained fetched SET is still
+    # schedule-independent even when every epoch rations tokens
+    res2 = _run_stream(_stream_cfg(tmp_path, "tight2", corpus_size=120,
+                                   budgets={}, leases_per_epoch=4,
+                                   num_workers=3, lease_urls=8))
+    assert _pairs_ids(tmp_path / "tight") == _pairs_ids(tmp_path / "tight2")
+    assert res2["counters"]["fetched"] == c["fetched"]
 
 
 @pytest.mark.usefixtures("ray_session")
