@@ -761,6 +761,20 @@ def q_hash_split(sf_dir: str):
     return out.sort("split")
 
 
+def q_temperature_sample(sf_dir: str):
+    """Temperature (alpha=0.5) source rebalancing over documents: kept
+    row count per source after the deterministic per-source hash filter
+    (rate = (n_min/n_g)^0.5 — hash-exact vs the SQL mirror)."""
+    from ray.data.aggregate import Count
+
+    from akf_cdparser_ray.stages.sampling import temperature_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = temperature_sample(ds, "source", "doc_id", alpha=0.5, salt="tmp")
+    return out.groupby("source").aggregate(Count(alias_name="n_kept")) \
+        .sort("source")
+
+
 def q_bm25(sf_dir: str):
     """BM25 lexical retrieval for the fixed query (hash, merge, window):
     top-10 documents by score, doc_id tie-break; returns integer columns
@@ -902,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "weighted_sample": q_weighted_sample,
+        "temperature_sample": q_temperature_sample,
         "bm25": q_bm25,
         "interval_join": q_interval_join,
         "chunk_dedup": q_chunk_dedup,
@@ -997,6 +1012,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
             LIMIT 20
+        """,
+        "temperature_sample": """
+            WITH cnt AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY source
+            ),
+            thr AS (
+                SELECT source,
+                       CAST(floor(pow(CAST((SELECT min(n) FROM cnt) AS DOUBLE)
+                                      / n, 1.0 - 0.5) * 10000) AS BIGINT) AS t
+                FROM cnt
+            )
+            SELECT d.source, count(*) AS n_kept
+            FROM documents d JOIN thr USING (source)
+            WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || 'tmp')
+                      % 10000 < t
+            GROUP BY d.source ORDER BY d.source
         """,
         "bm25": """
             WITH toks AS (

@@ -147,6 +147,40 @@ def bottom_k_sample(ds, key: str, k: int, salt: str = "",
     return out
 
 
+def temperature_sample(ds, group: str, key: str, alpha: float = 0.5,
+                       salt: str = "", hash_mode: str = "md5"):
+    """Temperature-based source rebalancing (the multilingual-corpus
+    alpha-sampling trick): source g is kept at rate
+    ``r_g = (n_min / n_g) ** (1 - alpha)`` — alpha=1 keeps everything
+    (natural mix), alpha=0 downsamples every source to the smallest
+    one's size in expectation, values between flatten the mix. The rate
+    uses only n_g and the exact integer n_min (deliberately NOT the
+    usual sum-normalized n^alpha weights: a cross-group float sum is
+    summation-order-dependent, which would break the bit-exact SQL
+    mirror; this form is float-identical per group on both engines).
+
+    Shape: one tiny group-count aggregate, then a stateless hash filter
+    (no shuffle of the payload; same determinism contract as
+    ``hash_sample``). Returns the filtered dataset."""
+    import math
+
+    counts = ds.groupby(group).count().to_pandas()
+    counts = {r[group]: int(r["count()"]) for _, r in counts.iterrows()}
+    n_min = min(counts.values())
+    thresholds = {
+        g: int(math.floor(((n_min / n) ** (1.0 - alpha)) * _BUCKETS))
+        for g, n in counts.items()
+    }
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        buckets = (_hash_col(batch[key].tolist(), salt, hash_mode)
+                   % np.uint64(_BUCKETS))
+        thr = batch[group].map(thresholds).fillna(0).to_numpy(np.uint64)
+        return batch[buckets < thr]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def weighted_sample_k(ds, key: str, weight: str, k: int, salt: str = "",
                       hash_mode: str = "md5"):
     """Deterministic weighted sample WITHOUT replacement (Efraimidis-

@@ -67,6 +67,42 @@ def test_bottom_k_partition_invariant():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_temperature_sample_rebalances_skewed_sources():
+    import math
+
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sampling import temperature_sample
+
+    sizes = {"big": 6400, "mid": 800, "small": 100}
+    rows = [(f"{src}-{i}", src) for src, n in sizes.items()
+            for i in range(n)]
+    df = pd.DataFrame(rows, columns=["doc_id", "source"])
+    ds = rd.from_pandas(df)
+
+    out = temperature_sample(ds, "source", "doc_id", alpha=0.5,
+                             salt="t").to_pandas()
+    kept = out.groupby("source").size().to_dict()
+    # smallest source intact; others kept at (n_min/n)^0.5 in expectation
+    assert kept["small"] == 100
+    for src in ("big", "mid"):
+        rate = (100 / sizes[src]) ** 0.5
+        assert abs(kept[src] / sizes[src] - rate) < 0.05
+    # brute-force: per-row decision is exactly bucket < floor(rate*1e4)
+    thr = {s: int(math.floor(((100 / n) ** 0.5) * 10000))
+           for s, n in sizes.items()}
+    exp = {s: 0 for s in sizes}
+    for doc_id, src in rows:
+        if md5_lower64(doc_id + "t") % 10000 < thr[src]:
+            exp[src] += 1
+    assert kept == exp
+    # alpha=1 is the identity mix
+    full = temperature_sample(ds, "source", "doc_id", alpha=1.0,
+                              salt="t").to_pandas()
+    assert len(full) == len(df)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_weighted_sample_k():
     import ray.data as rd
 
