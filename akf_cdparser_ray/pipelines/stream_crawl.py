@@ -133,7 +133,12 @@ class StreamCrawlConfig:
 
 _CTR_KEYS = ["dequeued", "allowed", "deferred", "robots_denied", "fetched",
              "http_404", "parsed_ok", "parse_err", "pairs_rows", "links",
-             "links_new", "leases"]
+             "links_new", "leases",
+             # per-stage wall profile, summed over workers in integer
+             # microseconds (REPORTING ONLY — timers never feed crawl
+             # state, so the determinism contract is untouched)
+             "t_dequeue_us", "t_gate_us", "t_work_us", "t_offer_us",
+             "t_idle_us"]
 
 
 @ray.remote(num_cpus=0.05)
@@ -271,6 +276,7 @@ class StreamWorker:
 
         ctr = {k: 0 for k in _CTR_KEYS}
         ctr["dequeued"] = len(df)
+        t_start = time.perf_counter()
         # politeness: one gate() per politeness shard present in the lease.
         # host→gate mapping computed per lease over UNIQUE hosts (bounded
         # memory — a persistent per-worker host cache would grow with the
@@ -309,6 +315,8 @@ class StreamWorker:
                 for s in np.unique(sid)
             ]
             ray.get(acks)
+        t1 = time.perf_counter()
+        ctr["t_gate_us"] = int((t1 - t_start) * 1e6)
         if not len(allowed):
             return ctr
         batch = pa.Table.from_pandas(
@@ -338,6 +346,8 @@ class StreamWorker:
                            os.path.join(self.pairs_tmp,
                                         f"part-{name}.parquet"))
             ctr["pairs_rows"] = pairs_b.num_rows
+        t2 = time.perf_counter()
+        ctr["t_work_us"] = int((t2 - t1) * 1e6)
         links_b = extract_links_batch(ok_b)
         ctr["links"] = links_b.num_rows
         if links_b.num_rows:
@@ -360,6 +370,7 @@ class StreamWorker:
             ]
             # acked BEFORE the lease ends — the drain barrier's soundness
             ctr["links_new"] = int(sum(ray.get(futs)))
+        ctr["t_offer_us"] = int((time.perf_counter() - t2) * 1e6)
         return ctr
 
     def _do_checkpoint(self, seq: int) -> None:
@@ -458,6 +469,7 @@ class StreamWorker:
                 else:
                     time.sleep(0.005)
                 continue
+            t_dq = time.perf_counter()
             df, src = None, -1
             for j in range(cfg.num_shards):
                 s = (rr + j) % cfg.num_shards
@@ -469,8 +481,11 @@ class StreamWorker:
                     src = s
                     break
             rr = (rr + 1) % cfg.num_shards
+            dq_us = int((time.perf_counter() - t_dq) * 1e6)
             if df is None:
-                ray.get(self.coord.end_lease.remote({"leases": 1}))
+                ray.get(self.coord.end_lease.remote(
+                    {"leases": 1,
+                     "t_idle_us": dq_us + int(idle_sleep * 1e6)}))
                 if idle_sleep >= 0.032 and self._drain_check():
                     return n
                 time.sleep(idle_sleep)
@@ -479,6 +494,7 @@ class StreamWorker:
             idle_sleep = 0.002
             ctr = self._process(df, epoch)
             ctr["leases"] = 1
+            ctr["t_dequeue_us"] = dq_us
             # defer/offer RPCs are acked inside _process; only now may the
             # slice leave the source shard's outstanding count (drain
             # barrier soundness — see FrontierShard.dequeue_stream).
