@@ -255,6 +255,33 @@ def q_ann_topk(sf_dir: str):
     return bruteforce_topk(ds, {qid: lookup[qid] for qid in _ANN_QUERY_IDS}, k=10)
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF approximate top-10 with a TRAINED coarse quantizer: distributed
+    k-means (one partial-sum map_batches pass per iteration), each query
+    probes its 4 nearest of 16 centroids, exact ranking on the candidate
+    union. repartition(8) pins the k-means partial fold order so the
+    golden survives parallelism changes (the approx_quantiles convention).
+    Rows-only + golden (k-means isn't SQL-expressible)."""
+    import pyarrow.parquet as pq
+
+    from akf_cdparser_ray.stages.ann import ivf_topk
+
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", _ANN_QUERY_IDS)],
+    )
+    lookup = {
+        int(v): e
+        for v, e in zip(emb.column("vec_id").to_pylist(),
+                        emb.column("embedding").to_pylist())
+    }
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding"]).repartition(8)
+    return ivf_topk(ds, {qid: lookup[qid] for qid in _ANN_QUERY_IDS},
+                    k=10, n_centroids=16, nprobe=4)
+
+
 def q_knn_join(sf_dir: str):
     """kNN self-join: every vector's top-5 cosine neighbors (blocked matmul
     + distributed top-k merge)."""
@@ -891,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "knn_join": q_knn_join,
         "window_hourly": q_window_hourly,
         "asof_join": q_asof_join,

@@ -175,3 +175,93 @@ def knn_join(emb_ds, *, k: int = 5, num_blocks: int = 8) -> pd.DataFrame:
                              "neighbor": pd.Series(dtype="int64"),
                              "rank": pd.Series(dtype="int64")})
     return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+
+
+def kmeans_ds(emb_ds, k: int = 16, iters: int = 6, salt: str = "ivf"):
+    """Distributed Lloyd's k-means over the (unit-normalized) embedding
+    column — the trained coarse quantizer for :func:`ivf_topk`.
+
+    Init is deterministic and layout-independent: the k vectors whose
+    vec_id md5-hash is smallest (the bottom-k trick from
+    ``stages/sampling``). Each iteration is ONE ``map_batches`` pass
+    emitting per-centroid partial (count, vector-sum) rows — at most k
+    tiny rows per block cross the wire, never the embeddings; the driver
+    folds partials in block order and updates. Empty clusters keep their
+    previous centroid.
+
+    Float note: the partial-sum fold order is the block order, so
+    centroids are bit-deterministic for a FIXED partitioning (pin
+    ``repartition(...)`` upstream where golden stability matters — the
+    ``approx_quantiles`` convention)."""
+    from .sampling import bottom_k_sample
+
+    def _unit(mat: np.ndarray) -> np.ndarray:
+        return mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+
+    seed_rows = bottom_k_sample(emb_ds, "vec_id", k, salt=salt)
+    cent = _unit(np.stack(seed_rows["embedding"].to_numpy())
+                 .astype(np.float64))
+    dim = cent.shape[1]
+
+    for _ in range(iters):
+        C = cent.copy()
+
+        def partial(batch: pd.DataFrame, C=C) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({"cid": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64"),
+                                     "vsum": pd.Series(dtype="object")})
+            X = _unit(np.stack(batch["embedding"].to_numpy())
+                      .astype(np.float64))
+            a = (X @ C.T).argmax(axis=1)  # unit vectors: max cos == min L2
+            cids = np.unique(a)
+            return pd.DataFrame({
+                "cid": pd.Series(cids, dtype="int64"),
+                "n": pd.Series([int((a == c).sum()) for c in cids],
+                               dtype="int64"),
+                "vsum": [X[a == c].sum(axis=0).tobytes() for c in cids],
+            })
+
+        parts = emb_ds.map_batches(partial, batch_format="pandas").to_pandas()
+        new = cent.copy()
+        for c in range(k):
+            sub = parts[parts["cid"] == c]
+            if len(sub):
+                tot = np.zeros(dim)
+                for v in sub["vsum"]:  # fold in block order (see above)
+                    tot = tot + np.frombuffer(v, dtype=np.float64)
+                new[c] = tot / int(sub["n"].sum())
+        cent = _unit(new)
+    return cent
+
+
+def ivf_topk(emb_ds, query_vectors: dict, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, iters: int = 6, concurrency: int = 2):
+    """IVF approximate top-k with a TRAINED coarse quantizer (vs
+    :func:`lsh_topk`'s data-independent hyperplanes): k-means centroids
+    from :func:`kmeans_ds`; each query probes its ``nprobe`` nearest
+    centroids; one filter pass keeps only rows assigned to a probed
+    centroid; exact cosine ranking runs on the candidate set (same
+    union-candidate shape as lsh_topk). ``nprobe == n_centroids``
+    degenerates to the exact brute force (test-pinned)."""
+    cent = kmeans_ds(emb_ds, k=n_centroids, iters=iters)
+    qids = list(query_vectors.keys())
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in query_vectors.values()])
+    qmat = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True) + 1e-12)
+    sims = qmat @ cent.T
+    wanted = set()
+    for qi in range(len(qids)):
+        order = np.lexsort((np.arange(cent.shape[0]), -sims[qi]))[:nprobe]
+        wanted.update(int(c) for c in order)
+
+    def filter_probed(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        X = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        a = (X @ cent.T).argmax(axis=1)
+        return batch[np.isin(a, list(wanted))]
+
+    cand = emb_ds.map_batches(filter_probed, batch_format="pandas")
+    return bruteforce_topk(cand, query_vectors, k, concurrency)

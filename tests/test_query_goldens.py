@@ -36,6 +36,8 @@ GOLDENS = {
     "pack_sequences": "39713deeee81746adaffb4eb9ef3302b1e8de65b57013b72402374f150946feb",
     "range_shards": "8c464f42715bc393cf4925639f1f6ee56e4425e784c075d8cce4a9b85fa1a3c4",
     "curate": "bd97ff580d65626d037c6a8678c2bf62f316ea078f0a4b8b01faefe7b34dd5f2",
+    # kmeans partial-fold order is pinned by the query's repartition(8)
+    "ivf_topk": "9c35800bbf30c8240a4c3f018ef3a419b74286d14f4914ae6500ed04df214326",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
