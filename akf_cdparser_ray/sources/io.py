@@ -99,13 +99,17 @@ def drop_partition(root: str, key: str) -> bool:
     the marker write leaves a partition whose rows will be refetched)."""
     pdir = os.path.join(root, key)
     existed = os.path.isdir(pdir)
-    if existed:
-        shutil.rmtree(pdir)
+    # manifest entry FIRST, directory second: a crash in between leaves an
+    # orphan dir no reader trusts (harmless, replaced by a later finalize),
+    # whereas the reverse order leaves a manifest entry pointing at a
+    # missing dir — which read_partitions silently skips, masking data loss
     manifest = load_manifest(root)
     if key in manifest["partitions"]:
         del manifest["partitions"][key]
         _store_manifest(root, manifest)
         existed = True
+    if os.path.isdir(pdir):
+        shutil.rmtree(pdir)
     return existed
 
 

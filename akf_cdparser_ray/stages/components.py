@@ -106,17 +106,37 @@ def connected_components_ds(edges_ds, num_shards: int = 8,
     oriented = edges_ds.map_batches(orient, batch_format="pandas").materialize()
     block_refs = oriented.to_arrow_refs()
 
-    @ray.remote
-    def extract_shard(s: int, *blocks):
-        frames = [bl.to_pandas() for bl in blocks if bl.num_rows]
-        if not frames:
-            return pd.DataFrame({"dst": pd.Series(dtype=np.int64),
+    _EMPTY_EDGES = pd.DataFrame({"dst": pd.Series(dtype=np.int64),
                                  "src": pd.Series(dtype=np.int64)})
-        df = pd.concat(frames, ignore_index=True)
-        return df[df["src"].to_numpy() % num_shards == s].reset_index(drop=True)
 
-    # one-time edge exchange: per-shard slices pinned in the object store
-    edge_refs = {s: extract_shard.remote(s, *block_refs)
+    # one-time edge exchange, two hops so no single task ever holds the
+    # whole edge list (round 5): per-block SPLIT tasks emit num_shards
+    # separate slice objects; per-shard CONCAT tasks fold only their own
+    # 1/S slices — transient memory O(block) then O(edges/S), not O(edges)
+    @ray.remote
+    def split_block(bl):
+        if not bl.num_rows:
+            out = [_EMPTY_EDGES] * num_shards
+        else:
+            df = bl.to_pandas()
+            mod = df["src"].to_numpy() % num_shards
+            out = [df[mod == s].reset_index(drop=True)
+                   for s in range(num_shards)]
+        return out if num_shards > 1 else out[0]
+
+    @ray.remote
+    def concat_shard(*frames):
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return _EMPTY_EDGES
+        return pd.concat(frames, ignore_index=True)
+
+    if num_shards == 1:
+        slice_refs = [[split_block.remote(r)] for r in block_refs]
+    else:
+        slice_refs = [split_block.options(num_returns=num_shards).remote(r)
+                      for r in block_refs]
+    edge_refs = {s: concat_shard.remote(*[sr[s] for sr in slice_refs])
                  for s in range(num_shards)}
 
     def init_labels(batch: pd.DataFrame) -> pd.DataFrame:

@@ -198,7 +198,10 @@ def weighted_sample_k(ds, key: str, weight: str, k: int, salt: str = "",
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch[weight] > 0]
         if not len(batch):
-            return batch
+            # typed empty WITH the score column: mixed block schemas (and a
+            # KeyError on the driver sort when every block filters empty)
+            # otherwise
+            return batch.assign(_s=pd.Series(dtype="float64"))
         h = _hash_col(batch[key].tolist(), salt, hash_mode)
         u = (h.astype(np.float64) + 1.0) / 2.0 ** 64
         score = np.power(u, 1.0 / batch[weight].to_numpy(np.float64))
@@ -209,6 +212,10 @@ def weighted_sample_k(ds, key: str, weight: str, k: int, salt: str = "",
         )
 
     cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if "_s" not in cand.columns:
+        # every block filtered empty: Ray's to_pandas drops the columns of
+        # all-empty pandas blocks — return the (empty) frame as-is
+        return cand.reset_index(drop=True)
     return (
         cand.sort_values(["_s", key], ascending=[False, True])
         .head(k)

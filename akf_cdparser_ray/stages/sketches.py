@@ -337,64 +337,132 @@ def exact_heavy_hitters(ds, col: str, top_k: int, sketch_k: int | None = None):
     top_k rows, never the distinct-value set — no silently approximate
     output either way).
 
-    Returns a pandas DataFrame (value, n) ordered by (n desc, value asc)."""
+    Merge shape (round 5): partials merge through a Ray
+    ``groupby(value).sum(c)`` + sort + ``limit(sketch_k + 1)`` — the
+    decrement-prune only needs the (sketch_k+1)-th largest merged count
+    (the cut) and the entries above it, so the driver receives at most
+    sketch_k + 1 rows, never a per-block partial concat. NULL values are
+    counted exactly via unconditional per-block accounting rows (flagged
+    ``is_total``, never a group key — a genuine null top-k value is
+    reported, not silently dropped).
+
+    Returns a pandas DataFrame (value, n) ordered by (n desc, value asc,
+    nulls last — DuckDB's default)."""
     import pandas as pd
 
     sketch_k = sketch_k or max(64, 8 * top_k)
 
+    def _value_series(vals: list, like: pd.Series) -> pd.Series:
+        """Schema-stable value column: the input column's dtype with a
+        nullable slot for the accounting row (int64 → Int64 etc.), so
+        every block's Arrow schema is identical."""
+        dt = like.dtype
+        if dt.kind in "iu":
+            return pd.Series(vals, dtype="Int64")
+        if dt.kind == "b":
+            return pd.Series(vals, dtype="boolean")
+        if dt.kind == "f":
+            return pd.Series(vals, dtype="Float64")
+        return pd.Series(vals, dtype="object")
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch[col].value_counts(sort=False)
+        s = batch[col]
+        nn = int(s.isna().sum())
+        vc = s.value_counts(sort=False)  # non-null exact per-batch counts
         mg = merge_summaries([dict(zip(vc.index, vc.to_numpy()))], sketch_k)
-        # n_rows is its own accounting row (value=None) so it is emitted
-        # even when the pruned summary is empty — no undercount of n_total.
+        k_ = len(mg)
+        # the accounting row (is_total) is emitted even for an all-null or
+        # pruned-empty batch — no undercount of n_total / null_total
         return pd.DataFrame({
-            "value": list(mg.keys()) + [None],
-            "c": [int(c) for c in mg.values()] + [0],
-            "n_rows": [0] * len(mg) + [len(batch)],
+            "value": _value_series(list(mg.keys()) + [None], s),
+            "c": pd.Series([int(c) for c in mg.values()] + [0],
+                           dtype="int64"),
+            "n_rows": pd.Series([0] * k_ + [len(batch)], dtype="int64"),
+            "null_c": pd.Series([0] * k_ + [nn], dtype="int64"),
+            "is_total": pd.Series([False] * k_ + [True], dtype="bool"),
         })
 
-    parts = ds.map_batches(partial, batch_format="pandas")
-    frames = [
-        b for b in parts.iter_batches(batch_size=None, batch_format="pandas")
-        if len(b.columns)
-    ]
-    n_total = int(sum(f["n_rows"].sum() for f in frames)) if frames else 0
-    if frames:
-        allv = pd.concat([f.loc[f["value"].notna(), ["value", "c"]]
-                          for f in frames], ignore_index=True)
-        merged = allv.groupby("value", sort=False)["c"].sum().to_dict()
+    # partials are tiny (≤ sketch_k+1 rows per block) — materialize once,
+    # consume for accounting sums and the distributed candidate merge
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+    acct = parts.sum(["n_rows", "null_c"])
+    n_total = int(acct["sum(n_rows)"]) if acct else 0
+    null_total = int(acct["sum(null_c)"]) if acct else 0
+    n_nonnull = n_total - null_total
+
+    def count_rows_only(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[~batch["is_total"], ["value", "c"]]
+
+    # distributed merge: SUM per value (duplicates across blocks must add),
+    # then only the top sketch_k+1 merged rows reach the driver — exactly
+    # what the decrement-prune needs (cut = the (sketch_k+1)-th largest;
+    # candidates = merged counts strictly above it)
+    summed = (
+        parts.map_batches(count_rows_only, batch_format="pandas")
+        .groupby("value").sum("c")
+        .sort(["sum(c)", "value"], descending=[True, False])
+        .limit(sketch_k + 1)
+        .to_pandas()
+    )
+    if "value" not in summed.columns:  # fully-empty input: no partial rows
+        summed = pd.DataFrame({"value": pd.Series(dtype="object"),
+                               "sum(c)": pd.Series(dtype="int64")})
+    if len(summed) > sketch_k:
+        cut = int(summed["sum(c)"].iloc[sketch_k])
+        cand_rows = summed[summed["sum(c)"] > cut]
     else:
-        merged = {}
-    cand = set(merge_summaries([merged], sketch_k))
+        cand_rows = summed
+    cand = set(cand_rows["value"].tolist())
 
     def count_candidates(batch: pd.DataFrame) -> pd.DataFrame:
         sel = batch[batch[col].isin(cand)]
         g = sel.groupby(col, sort=True).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
         return g.rename(columns={col: "value"})
 
-    counted_ds = ds.map_batches(count_candidates, batch_format="pandas")
-    frames = [
-        b for b in counted_ds.iter_batches(batch_size=None, batch_format="pandas")
-        if len(b.columns)
-    ]
-    counted = (pd.concat(frames, ignore_index=True) if frames
-               else pd.DataFrame({"value": [], "n": []}))
-    exact = counted.groupby("value", sort=True)["n"].sum().reset_index()
-    exact = exact.sort_values(["n", "value"], ascending=[False, True],
-                              kind="mergesort").reset_index(drop=True)
-    top = exact.head(top_k)
-    # soundness check: the sketch only guarantees recall above the bound
-    bound = n_total / (sketch_k + 1)
-    if len(top) < top_k or (len(top) and top["n"].iloc[-1] <= bound):
+    # pass 2: exact candidate counts, merged distributedly — the driver
+    # sees ≤ |candidates| ≤ sketch_k rows
+    counted = (
+        ds.map_batches(count_candidates, batch_format="pandas")
+        .groupby("value").sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+    )
+    if "n" not in counted.columns:  # no candidate hit anywhere
+        counted = pd.DataFrame({"value": pd.Series(dtype="object"),
+                                "n": pd.Series(dtype="int64")})
+    counted["n"] = counted["n"].astype("int64")
+    if null_total > 0:  # exact from the accounting sums — always complete
+        counted = pd.concat(
+            [counted, pd.DataFrame({"value": [None],
+                                    "n": pd.Series([null_total],
+                                                   dtype="int64")})],
+            ignore_index=True)
+    exact = counted.sort_values(["n", "value"], ascending=[False, True],
+                                kind="mergesort", na_position="last")
+    top = exact.head(top_k).reset_index(drop=True)
+    # soundness check: the sketch only guarantees recall of NON-NULL values
+    # above the bound (null counts are exact regardless)
+    bound = n_nonnull / (sketch_k + 1)
+    nn_top = top[top["value"].notna()]
+    if len(top) < top_k or (len(nn_top) and nn_top["n"].iloc[-1] <= bound):
         # cannot prove completeness — run the exact full count as a
         # DISTRIBUTED hash aggregate; only top_k rows reach the driver.
         full = ds.groupby(col).count()
-        full = full.sort(["count()", col], descending=[True, False]).limit(top_k)
+        full = full.sort(["count()", col], descending=[True, False]).limit(
+            top_k + 1)  # +1: make room in case the engine emitted a null row
         fdf = full.to_pandas().rename(columns={col: "value", "count()": "n"})
+        fdf = fdf[fdf["value"].notna()]  # null handled exactly below
         fdf["n"] = fdf["n"].astype("int64")
+        if null_total > 0:
+            fdf = pd.concat(
+                [fdf, pd.DataFrame({"value": [None],
+                                    "n": pd.Series([null_total],
+                                                   dtype="int64")})],
+                ignore_index=True)
         top = (
             fdf.sort_values(["n", "value"], ascending=[False, True],
-                            kind="mergesort")
+                            kind="mergesort", na_position="last")
             .head(top_k).reset_index(drop=True)
         )
     return top.reset_index(drop=True)

@@ -240,7 +240,10 @@ def bm25_topk(ds, terms: list[str], k: int = 10,
 
     stats = ds.map_batches(stats_partial, batch_format="pandas") \
         .to_pandas().sum()
-    n = int(stats["n"])
+    n = int(stats.get("n", 0) or 0)
+    if n == 0:  # empty corpus: no avgdl/idf to divide by
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "tf_total": pd.Series(dtype="int64")})
     avgdl = int(stats["sum_dl"]) / n
     idf = [math.log((n - int(stats[f"df{i}"]) + 0.5)
                     / (int(stats[f"df{i}"]) + 0.5) + 1.0)

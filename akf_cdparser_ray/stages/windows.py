@@ -107,32 +107,58 @@ def anti_join_new_users(events_ds, known_keys) -> pd.DataFrame:
     return out.drop_duplicates().sort_values("user_id").reset_index(drop=True)
 
 
+def _split_ids_block(bl, key: str, num_shards: int) -> list:
+    """One block → ``num_shards`` sorted-unique int64 slices
+    (``ids % num_shards == s``). Factored out so the per-task memory
+    contract is unit-testable: a split task touches O(block) rows, a
+    merge task only its own shard's slices."""
+    import numpy as np
+
+    if not bl.num_rows or key not in bl.schema.names:
+        return [np.empty(0, np.int64) for _ in range(num_shards)]
+    ids = (bl.column(key).to_numpy(zero_copy_only=False)
+           .astype(np.int64, copy=False))
+    mod = ids % num_shards
+    return [np.unique(ids[mod == s]) for s in range(num_shards)]
+
+
 def build_id_shards(ids_ds, key: str, num_shards: int) -> dict:
     """Hash-partition an integer id column into SORTED per-shard numpy
     arrays pinned in the object store. The driver holds only the
-    ObjectRefs — never an id set — and each extract task runs remotely
-    over the dataset's block refs (the one-time exchange; same pattern as
-    the components edge partitioning). Workers later ``ray.get`` a shard
-    zero-copy from plasma (one shared mapping per node, not a per-task
-    Python-set copy)."""
+    ObjectRefs — never an id set — and the exchange is two remote hops
+    (the one-time exchange; same pattern as the components edge
+    partitioning). Workers later ``ray.get`` a shard zero-copy from
+    plasma (one shared mapping per node, not a per-task Python-set copy).
+
+    Exchange shape (round 5): per-block SPLIT tasks emit ``num_shards``
+    separate objects (``num_returns``), and each per-shard MERGE task
+    concatenates only its own 1/S slices — transient memory per task is
+    O(block) then O(total/S), never O(total) (a merge that received every
+    block and filtered would OOM workers at a 100-TB drop list long
+    before plasma fills)."""
     import numpy as np
 
     refs = ids_ds.to_arrow_refs()
 
     @ray.remote
-    def extract(s: int, *blocks):
-        parts = []
-        for bl in blocks:
-            if bl.num_rows and key in bl.schema.names:
-                parts.append(
-                    bl.column(key).to_numpy(zero_copy_only=False)
-                    .astype(np.int64, copy=False))
-        if not parts:
-            return np.empty(0, np.int64)
-        ids = np.concatenate(parts)
-        return np.unique(ids[ids % num_shards == s])
+    def split(bl):
+        out = _split_ids_block(bl, key, num_shards)
+        return out if num_shards > 1 else out[0]
 
-    return {s: extract.remote(s, *refs) for s in range(num_shards)}
+    @ray.remote
+    def merge(*slices):
+        arrs = [a for a in slices if len(a)]
+        if not arrs:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    if num_shards == 1:
+        slice_refs = [[split.remote(r)] for r in refs]
+    else:
+        slice_refs = [split.options(num_returns=num_shards).remote(r)
+                      for r in refs]
+    return {s: merge.remote(*[sr[s] for sr in slice_refs])
+            for s in range(num_shards)}
 
 
 def anti_join_ids(left_ds, ids_ds, key: str = "doc_id",

@@ -230,3 +230,25 @@ def test_fast_hash_mode_semantics():
                             0.25, hash_mode="fast").to_pandas()
     assert set(kept_half["doc_id"]) == {
         d for d in kept["doc_id"] if d < 10_000}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_k_all_filtered_blocks():
+    # regression (round-5 ADVICE): blocks whose rows all filter out
+    # (weight <= 0) must emit the _s column too — mixed block schemas /
+    # a KeyError on the driver sort otherwise.
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sampling import weighted_sample_k
+
+    df = pd.DataFrame({"doc_id": range(20), "w": [0.0] * 10 + [1.0] * 10})
+    blocks = [df.iloc[:10].reset_index(drop=True),
+              df.iloc[10:].reset_index(drop=True)]
+    out = weighted_sample_k(rd.from_pandas(blocks), "doc_id", "w", k=5,
+                            salt="s")
+    assert len(out) == 5 and (out["w"] > 0).all()
+    # fully-filtered input: empty result, no KeyError
+    zero = [b.assign(w=0.0) for b in blocks]
+    out0 = weighted_sample_k(rd.from_pandas(zero), "doc_id", "w", k=5,
+                             salt="s")
+    assert len(out0) == 0

@@ -226,3 +226,37 @@ def test_exact_heavy_hitters_high_cardinality_fallback():
     got = exact_heavy_hitters(ds, "v", top_k=2, sketch_k=32)
     assert got["value"].iloc[0] == "dominant" and got["n"].iloc[0] == 3
     assert got["n"].iloc[1] == 2 and got["value"].iloc[1] == "k0"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_heavy_hitters_null_values_counted():
+    # regression (round-5 ADVICE): genuine nulls must be countable top-k
+    # values, not dropped by the accounting sentinel. Nulls are tallied
+    # exactly through the per-block accounting rows; an all-null block
+    # must not poison the partials schema either.
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sketches import exact_heavy_hitters
+
+    blocks = [
+        pd.DataFrame({"v": pd.Series([None] * 50, dtype="object")}),  # all-null
+        pd.DataFrame({"v": ["a"] * 40 + [None] * 10 + ["b"] * 5}),
+        pd.DataFrame({"v": ["a"] * 5 + ["c"] * 30 + [None] * 20}),
+    ]
+    got = exact_heavy_hitters(rd.from_pandas(blocks), "v", top_k=3,
+                              sketch_k=64)
+    # exact counts: null=80, a=45, c=30 (b=5 misses top-3)
+    assert got["n"].tolist() == [80, 45, 30]
+    assert pd.isna(got["value"].iloc[0])
+    assert got["value"].tolist()[1:] == ["a", "c"]
+    # int64 column with nulls: values above 2^53 must survive exactly
+    big = 2**60 + 12345
+    iblk = [pd.DataFrame({"v": pd.Series([big] * 30 + [None] * 40,
+                                         dtype="Int64")}),
+            pd.DataFrame({"v": pd.Series([big] * 30 + [7] * 10,
+                                         dtype="Int64")})]
+    got2 = exact_heavy_hitters(rd.from_pandas(iblk), "v", top_k=2,
+                               sketch_k=64)
+    assert got2["n"].tolist() == [60, 40]
+    assert int(got2["value"].iloc[0]) == big
+    assert pd.isna(got2["value"].iloc[1])

@@ -642,3 +642,18 @@ def test_ivf_topk_trained_quantizer():
 
     again = ivf_topk(ds, queries, k=10, n_centroids=4, nprobe=2, iters=4)
     assert again.equals(approx)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_empty_corpus():
+    # regression (round-5 ADVICE): n == 0 must return an empty frame, not
+    # divide by zero.
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.text_analysis import bm25_topk
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "text": pd.Series(dtype="object")})
+    out = bm25_topk(rd.from_pandas(empty), ["alpha", "beta"], k=5)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "tf_total"]
