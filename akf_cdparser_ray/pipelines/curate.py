@@ -86,16 +86,26 @@ def curate(ds, min_words: int = 20, neardup_threshold: float = 0.5,
             os.path.join(spill_dir, "exact"))
 
         # 3. near-dup clusters over the exact-dedup survivors: verified
-        # pairs (output-sized) → distributed connected components → the
-        # non-minimum cluster members as a Dataset → anti-join probe
-        pairs = minhash_lsh_pairs(survivors, threshold=neardup_threshold)
-        if not isinstance(pairs, pd.DataFrame):
-            pairs = pairs.to_pandas()
-        if len(pairs):
-            cols = list(pairs.columns)[:2]
-            edges = pairs.rename(
-                columns={cols[0]: "a", cols[1]: "b"})[["a", "b"]]
-            comp = connected_components_ds(edges, num_shards=num_shards)
+        # pairs stay a DATASET end-to-end (on a web corpus the pair list
+        # scales with the duplicate population — 30-50% of docs — so it
+        # must never be pulled to driver pandas) → distributed connected
+        # components → the non-minimum cluster members as a Dataset →
+        # anti-join probe. materialize() pins the output-sized pairs in
+        # the object store so count + the components pass don't re-run
+        # the minhash pipeline.
+        pairs_ds = minhash_lsh_pairs(
+            survivors, threshold=neardup_threshold,
+            return_dataset=True).materialize()
+        if pairs_ds.count():
+            def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+                if "doc_a" not in b.columns or not len(b):
+                    return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                         "b": pd.Series(dtype="int64")})
+                return pd.DataFrame({"a": b["doc_a"].astype("int64"),
+                                     "b": b["doc_b"].astype("int64")})
+
+            edges_ds = pairs_ds.map_batches(to_edges, batch_format="pandas")
+            comp = connected_components_ds(edges_ds, num_shards=num_shards)
 
             def cluster_drops(b: pd.DataFrame) -> pd.DataFrame:
                 if "node" not in b.columns or not len(b):

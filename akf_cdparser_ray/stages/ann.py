@@ -177,17 +177,40 @@ def knn_join(emb_ds, *, k: int = 5, num_blocks: int = 8) -> pd.DataFrame:
     return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
 
 
-def kmeans_ds(emb_ds, k: int = 16, iters: int = 6, salt: str = "ivf"):
+def _project_embeddings(emb_ds):
+    """One-time (vec_id, embedding) projection, MATERIALIZED: k-means'
+    seed sample, every Lloyd iteration and the IVF probe filter all
+    consume the same input — on a lazy Dataset each consumption would
+    re-execute the upstream read (iters+2 full corpus scans for the
+    default config). Materializing the projection pins it once in the
+    object store (spillable) and every later pass is a plasma read."""
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        if "vec_id" not in batch.columns or not len(batch):
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "embedding": pd.Series(dtype="object")})
+        return batch[["vec_id", "embedding"]]
+
+    # batch_size=None: one batch per block → the materialized projection
+    # reproduces the input block layout exactly (the per-iteration partial
+    # fold order is block order — golden stability)
+    return emb_ds.map_batches(proj, batch_format="pandas",
+                              batch_size=None).materialize()
+
+
+def kmeans_ds(emb_ds, k: int = 16, iters: int = 6, salt: str = "ivf",
+              _pre_projected: bool = False):
     """Distributed Lloyd's k-means over the (unit-normalized) embedding
     column — the trained coarse quantizer for :func:`ivf_topk`.
 
     Init is deterministic and layout-independent: the k vectors whose
     vec_id md5-hash is smallest (the bottom-k trick from
-    ``stages/sampling``). Each iteration is ONE ``map_batches`` pass
-    emitting per-centroid partial (count, vector-sum) rows — at most k
-    tiny rows per block cross the wire, never the embeddings; the driver
-    folds partials in block order and updates. Empty clusters keep their
-    previous centroid.
+    ``stages/sampling``). The input is projected to (vec_id, embedding)
+    and materialized ONCE (``_pre_projected=True`` skips it when the
+    caller — ivf_topk — already did); each iteration is then ONE
+    ``map_batches`` pass over plasma blocks emitting per-centroid partial
+    (count, vector-sum) rows — at most k tiny rows per block cross the
+    wire, never the embeddings; the driver folds partials in block order
+    and updates. Empty clusters keep their previous centroid.
 
     Float note: the partial-sum fold order is the block order, so
     centroids are bit-deterministic for a FIXED partitioning (pin
@@ -198,6 +221,8 @@ def kmeans_ds(emb_ds, k: int = 16, iters: int = 6, salt: str = "ivf"):
     def _unit(mat: np.ndarray) -> np.ndarray:
         return mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
 
+    if not _pre_projected:
+        emb_ds = _project_embeddings(emb_ds)
     seed_rows = bottom_k_sample(emb_ds, "vec_id", k, salt=salt)
     cent = _unit(np.stack(seed_rows["embedding"].to_numpy())
                  .astype(np.float64))
@@ -243,8 +268,13 @@ def ivf_topk(emb_ds, query_vectors: dict, k: int = 10, n_centroids: int = 16,
     centroids; one filter pass keeps only rows assigned to a probed
     centroid; exact cosine ranking runs on the candidate set (same
     union-candidate shape as lsh_topk). ``nprobe == n_centroids``
-    degenerates to the exact brute force (test-pinned)."""
-    cent = kmeans_ds(emb_ds, k=n_centroids, iters=iters)
+    degenerates to the exact brute force (test-pinned). The embedding
+    projection is materialized ONCE up front — training iterations and
+    the probe filter all read plasma blocks, never re-executing the
+    upstream read (round-5 single-scan fix)."""
+    emb_ds = _project_embeddings(emb_ds)
+    cent = kmeans_ds(emb_ds, k=n_centroids, iters=iters,
+                     _pre_projected=True)
     qids = list(query_vectors.keys())
     qmat = np.stack([np.asarray(v, dtype=np.float64)
                      for v in query_vectors.values()])

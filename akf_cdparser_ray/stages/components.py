@@ -96,6 +96,9 @@ def connected_components_ds(edges_ds, num_shards: int = 8,
         ]) if len(edges_ds) else rd.from_pandas(edges_ds)
 
     def orient(batch: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in batch.columns or not len(batch):  # column-less empty
+            return pd.DataFrame({"dst": pd.Series(dtype=np.int64),
+                                 "src": pd.Series(dtype=np.int64)})
         a = batch["a"].to_numpy(dtype=np.int64)
         b = batch["b"].to_numpy(dtype=np.int64)
         return pd.DataFrame({

@@ -105,9 +105,10 @@ class MinHashStage:
 
 
 def minhash_lsh_pairs(docs_ds, *, num_perm=64, bands=16, shingle_k=3,
-                      threshold=0.7, concurrency=2, bucket_cap=1024):
-    """Full near-dup pipeline over a documents Dataset → pandas DataFrame of
-    verified pairs (doc_a < doc_b, jaccard >= threshold).
+                      threshold=0.7, concurrency=2, bucket_cap=1024,
+                      return_dataset=False):
+    """Full near-dup pipeline over a documents Dataset → verified pairs
+    (doc_a < doc_b, jaccard >= threshold).
 
     Fully distributed: candidates come out of the banded ``groupby`` and are
     deduped by a second ``groupby``; only the candidate-*id* set (bounded by
@@ -116,7 +117,14 @@ def minhash_lsh_pairs(docs_ds, *, num_perm=64, bands=16, shingle_k=3,
     candidate texts. Shingle arrays are then routed to their pairs through
     two ``groupby(doc_id).map_groups`` joins and the exact-Jaccard verify
     runs inside the groups. No corpus-sized driver materialization anywhere.
-    """
+
+    ``return_dataset=True`` keeps the verified pairs a DATASET (schema
+    (doc_a, doc_b, jaccard), unsorted — the verify already runs
+    distributed; there is simply no driver collect). On a web corpus the
+    verified pair list scales with the duplicate population — feed this
+    straight to ``connected_components_ds`` (the curate funnel path).
+    The default pandas return (sorted) is for output-sized callers and
+    the golden-pinned queries."""
     import ray
 
     sigs = docs_ds.map_batches(
@@ -185,6 +193,9 @@ def minhash_lsh_pairs(docs_ds, *, num_perm=64, bands=16, shingle_k=3,
                           "doc_b": pd.Series(dtype="int64"),
                           "jaccard": pd.Series(dtype="float64")})
     if cand.count() == 0:
+        if return_dataset:
+            import ray.data as rd
+            return rd.from_pandas(empty)
         return empty
 
     # candidate-id set: |ids| <= 2 * |candidate pairs| — broadcast once
@@ -262,12 +273,21 @@ def minhash_lsh_pairs(docs_ds, *, num_perm=64, bands=16, shingle_k=3,
         })
         return out[out["jaccard"] >= threshold]
 
-    verified = (
+    verified_ds = (
         sh_ds.union(hop1)
         .groupby("key")
         .map_groups(verify, batch_format="pandas")
-        .to_pandas()          # final verified pairs only — output-sized
     )
+    if return_dataset:
+        # normalize: the groupby shuffle can emit column-less empty pandas
+        # blocks — downstream consumers get a stable 3-column schema
+        def norm(b: pd.DataFrame) -> pd.DataFrame:
+            if "doc_a" not in b.columns or not len(b):
+                return empty
+            return b[["doc_a", "doc_b", "jaccard"]]
+
+        return verified_ds.map_batches(norm, batch_format="pandas")
+    verified = verified_ds.to_pandas()  # final verified pairs — output-sized
     if verified.empty:
         return empty
     return verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -125,3 +125,52 @@ def test_spill_dataset_reproduces_blocks(tmp_path):
     assert len(got) == 6
     for src, g in zip(blocks, got):
         assert g.reset_index(drop=True).equals(src.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_pair_list_exceeds_driver_budget(monkeypatch, tmp_path):
+    """Round-5 VERDICT #1: the verified near-dup PAIR list itself (not
+    just the drop list) must stay a Dataset end-to-end — 60 clusters of
+    12 near-identical docs yield ~3,960 verified pairs, well over the
+    1,024-row driver budget, and the funnel must still resolve clusters
+    through connected components without a driver pandas hop."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.pipelines.curate import curate
+
+    rng = np.random.RandomState(17)
+    words = [f"q{i}" for i in range(400)]
+    docs = []
+    doc_id = 0
+    n_clusters, members = 60, 12
+    for c in range(n_clusters):
+        base = " ".join(rng.choice(words, 30))
+        for m in range(members):
+            # one unique token per member: near-dup (high jaccard), never
+            # an exact dup — the pair survives to the minhash verify
+            docs.append((doc_id, base + f" uniq{c}_{m}"))
+            doc_id += 1
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    ds = rd.from_pandas([df.iloc[i::8].reset_index(drop=True)
+                         for i in range(8)])
+
+    def _budget(name, orig):
+        def guard(self, *a, **k):
+            n = self.count()
+            if n > 1024:
+                raise AssertionError(
+                    f"driver-side Dataset.{name}() on {n} rows in curate")
+            return orig(self, *a, **k)
+        return guard
+
+    for api in ("to_pandas", "take_all"):
+        monkeypatch.setattr(rd.Dataset, api,
+                            _budget(api, getattr(rd.Dataset, api)))
+    out = curate(ds, min_words=5, neardup_threshold=0.5,
+                 spill_dir=str(tmp_path / "spill"))
+    monkeypatch.undo()
+    row = out.iloc[0]
+    assert row["n_input"] == n_clusters * members
+    assert row["n_exact"] == n_clusters * members   # no exact dups
+    # every cluster collapses to one survivor
+    assert row["n_neardup"] == n_clusters

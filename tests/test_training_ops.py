@@ -657,3 +657,58 @@ def test_bm25_empty_corpus():
     out = bm25_topk(rd.from_pandas(empty), ["alpha", "beta"], k=5)
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "tf_total"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_single_scan_of_source():
+    """Round-5 VERDICT #3: kmeans_ds/ivf_topk must read the source
+    exactly ONCE — the projection is materialized up front, so the seed
+    sample, every Lloyd iteration and the probe filter hit plasma, never
+    re-executing the upstream read. Counted with a side-effect counter
+    actor in the upstream UDF."""
+    import ray
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.ann import ivf_topk, kmeans_ds
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def bump(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({
+        "vec_id": np.arange(160, dtype=np.int64),
+        "embedding": [rng.randn(16).astype(np.float32) for _ in range(160)],
+    })
+    ctr = Counter.remote()
+
+    def spy(batch: pd.DataFrame) -> pd.DataFrame:
+        ray.get(ctr.bump.remote())
+        return batch
+
+    n_blocks = 8
+    src = rd.from_pandas([df.iloc[i::n_blocks].reset_index(drop=True)
+                          for i in range(n_blocks)]).map_batches(
+        spy, batch_format="pandas", batch_size=None)
+    kmeans_ds(src, k=4, iters=5)
+    assert ray.get(ctr.get.remote()) == n_blocks  # one pass, ever
+
+    ctr2 = Counter.remote()
+
+    def spy2(batch: pd.DataFrame) -> pd.DataFrame:
+        ray.get(ctr2.bump.remote())
+        return batch
+
+    src2 = rd.from_pandas([df.iloc[i::n_blocks].reset_index(drop=True)
+                           for i in range(n_blocks)]).map_batches(
+        spy2, batch_format="pandas", batch_size=None)
+    q = {0: rng.randn(16).astype(np.float32)}
+    ivf_topk(src2, q, k=5, n_centroids=4, nprobe=4, iters=4)
+    assert ray.get(ctr2.get.remote()) == n_blocks
