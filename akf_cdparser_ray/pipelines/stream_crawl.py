@@ -73,13 +73,27 @@ frontier) and continues: a killed run refetches only post-marker work
 and the final pairs union has no duplicates and no losses (test-pinned
 against an uninterrupted run).
 
-FAULT SEMANTICS: stream workers are long-lived actors — an actor death
-mid-lease leaves its lease open and its rows outstanding, so the drain
-barrier (correctly) never fires; recovery is JOB-level: kill the job
-and rerun with ``resume=True`` (bounded by ``checkpoint_every_fetches``
-of rework). This differs from the wave mode, whose fetch/parse run as
-Ray Data TASKS and get Ray's per-task retries for free; the trade is
-deliberate (actor loops are what remove the per-wave launch floor).
+FAULT SEMANTICS (round 5 — worker deaths are recovered IN-JOB): the
+driver supervises ``run_loop`` futures; a RayActorError (fail-stop — a
+real actor death, never a timeout, so a reclaim cannot race a live
+worker) triggers: coordinator lease/ckpt-ownership cleanup
+(``worker_died``), per-shard reclaim of the dead worker's outstanding
+lease rows (``reclaim_worker`` — fences the wid and requeues the rows),
+deletion of its token-named pairs fragments for exactly the reclaimed
+leases, adoption of any partition dir orphaned mid-promote, and a
+replacement worker spawn. Exactness relies on three invariants: (1) a
+lease's rows all hash to its source shard, so the politeness defer
+rides INSIDE ``complete_stream`` — completion and re-queue are one
+atomic actor call with no partial-defer window; (2) fragments are named
+(wid, lease seq), so a reclaimed lease's possibly-written pairs are
+deleted before the refetch rewrites them — pairs stay duplicate-free;
+(3) link offers are idempotent through the cuckoo filter, so a dead
+worker's late offer and the refetch's re-offer cannot double-enqueue.
+The fetched SET / pairs CONTENT / robots-denied invariants therefore
+survive any number of worker deaths (test-pinned); COUNTERS for a
+lease that completed at the shard but whose worker died before
+``end_lease`` are lost — counters were already schedule-dependent.
+Whole-JOB kills remain resume-from-checkpoint (above).
 """
 
 from __future__ import annotations
@@ -154,6 +168,7 @@ class StreamCoordinator:
         self._max_fetches = max_fetches
         self._leases = 0
         self._open = 0          # leases begun and not yet ended
+        self._open_by: dict[int, int] = {}  # wid -> its open leases
         self._drained = False
         self._ctr = {k: 0 for k in _CTR_KEYS}
         self._ckpt_every = ckpt_every_fetches
@@ -161,8 +176,9 @@ class StreamCoordinator:
         self._ckpt_seq = 0
         self._pausing = False
         self._ckpt_owner = False
+        self._ckpt_owner_wid: int | None = None
 
-    def begin_lease(self) -> int | str | None:
+    def begin_lease(self, wid: int = 0) -> int | str | None:
         """None = stop (drained or fetch cap hit); "pause" = a checkpoint
         is pending (retry shortly / volunteer via acquire_checkpoint);
         else the current epoch. The epoch clock ticks on lease COUNT
@@ -181,20 +197,40 @@ class StreamCoordinator:
             return "pause"
         self._leases += 1
         self._open += 1
+        self._open_by[wid] = self._open_by.get(wid, 0) + 1
         return self._leases // self._per_epoch
 
-    def end_lease(self, counters: dict | None) -> None:
+    def end_lease(self, wid: int = 0, counters: dict | None = None) -> None:
         self._open -= 1
+        n = self._open_by.get(wid, 0) - 1
+        if n > 0:
+            self._open_by[wid] = n
+        else:
+            self._open_by.pop(wid, None)
         if counters:
             for k, v in counters.items():
                 self._ctr[k] += int(v)
 
+    def worker_died(self, wid: int) -> int:
+        """Driver-side fail-stop recovery hook: close the dead worker's
+        open leases (they will never end_lease) and, if it owned an
+        in-flight checkpoint, release ownership so the next volunteer
+        restarts the attempt under a fresh sequence number. Returns the
+        number of leases closed."""
+        n = self._open_by.pop(wid, 0)
+        self._open -= n
+        if self._ckpt_owner and self._ckpt_owner_wid == wid:
+            self._ckpt_owner = False
+            self._ckpt_owner_wid = None
+        return n
+
     # -- checkpoint barrier -------------------------------------------------
-    def acquire_checkpoint(self) -> int | None:
+    def acquire_checkpoint(self, wid: int = 0) -> int | None:
         """First caller while pausing becomes the checkpoint owner and
         gets the sequence number; everyone else gets None (wait)."""
         if self._pausing and not self._ckpt_owner:
             self._ckpt_owner = True
+            self._ckpt_owner_wid = wid
             self._ckpt_seq += 1
             return self._ckpt_seq
         return None
@@ -209,6 +245,7 @@ class StreamCoordinator:
     def checkpoint_done(self) -> None:
         self._pausing = False
         self._ckpt_owner = False
+        self._ckpt_owner_wid = None
         self._next_ckpt = self._ctr["fetched"] + (self._ckpt_every or 0)
 
     def state(self) -> dict:
@@ -255,6 +292,7 @@ class StreamWorker:
         self.parse_fn = cached_parse_batch()
         self.pairs_tmp = os.path.join(cfg.out_dir, "pairs", ".stream.building")
         os.makedirs(self.pairs_tmp, exist_ok=True)
+        self._seq = 0  # per-worker lease counter → (wid, seq) lease tokens
 
     def prime(self) -> int:
         """Build the per-worker fetch/parse state (dictionary load, regex
@@ -269,9 +307,14 @@ class StreamWorker:
         return 1
 
     # -- one lease ---------------------------------------------------------
-    def _process(self, df: pd.DataFrame, epoch: int) -> dict:
-        import hashlib
-
+    def _process(self, df: pd.DataFrame, epoch: int,
+                 seq: int) -> tuple[dict, pd.DataFrame | None]:
+        """Returns (counters, deferred rows). Deferred rows are NOT sent
+        anywhere here — they ride inside ``complete_stream`` back to the
+        source shard, atomically with the lease's completion (a separate
+        defer RPC would open the window where a worker death after the
+        defer but before completion reclaims the whole lease and
+        double-queues the deferred subset)."""
         import pyarrow.parquet as pq
 
         ctr = {k: 0 for k in _CTR_KEYS}
@@ -303,22 +346,12 @@ class StreamWorker:
         ctr["allowed"] = len(allowed)
         ctr["deferred"] = len(deferred)
         ctr["robots_denied"] = int((decisions == "robots").sum())
-        # deferred rows return to their owning hash shard, re-eligible
-        # next epoch (same semantics as the wave mode's defer)
-        if len(deferred):
-            sid = (deferred["url_hash"].to_numpy().astype(np.uint64)
-                   % np.uint64(self.cfg.num_shards)).astype(np.int64)
-            acks = [
-                self.shards[int(s)].defer.remote(
-                    deferred[sid == s][FRONTIER_COLS].reset_index(drop=True),
-                    epoch)
-                for s in np.unique(sid)
-            ]
-            ray.get(acks)
+        deferred_out = (deferred[FRONTIER_COLS].reset_index(drop=True)
+                        if len(deferred) else None)
         t1 = time.perf_counter()
         ctr["t_gate_us"] = int((t1 - t_start) * 1e6)
         if not len(allowed):
-            return ctr
+            return ctr, deferred_out
         batch = pa.Table.from_pandas(
             allowed[["url_canon", "depth"]].reset_index(drop=True),
             preserve_index=False)
@@ -336,15 +369,14 @@ class StreamWorker:
             ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
              "status"])
         if pairs_b.num_rows:
-            name = hashlib.blake2b(
-                "|".join(allowed["url_canon"]).encode(), digest_size=8,
-            ).hexdigest()
-            # a checkpoint may have promoted (renamed away) the building
-            # dir since the last fragment; recreate lazily
+            # token-named fragment (one per lease): worker-death recovery
+            # deletes exactly the reclaimed leases' fragments by name —
+            # the refetch rewrites them under new tokens (no dup, no loss)
             os.makedirs(self.pairs_tmp, exist_ok=True)
-            pq.write_table(pairs_b,
-                           os.path.join(self.pairs_tmp,
-                                        f"part-{name}.parquet"))
+            pq.write_table(
+                pairs_b,
+                os.path.join(self.pairs_tmp,
+                             f"part-w{self.wid:04d}-s{seq:08d}.parquet"))
             ctr["pairs_rows"] = pairs_b.num_rows
         t2 = time.perf_counter()
         ctr["t_work_us"] = int((t2 - t1) * 1e6)
@@ -365,13 +397,13 @@ class StreamWorker:
             futs = [
                 self.shards[int(s)].offer_stream.remote(
                     canons[st:en], h_sorted[st:en].tolist(), hosts[st:en],
-                    depths[st:en], epoch)
+                    depths[st:en], epoch, self.wid)
                 for s, st, en in zip(uniq, starts, ends)
             ]
             # acked BEFORE the lease ends — the drain barrier's soundness
             ctr["links_new"] = int(sum(ray.get(futs)))
         ctr["t_offer_us"] = int((time.perf_counter() - t2) * 1e6)
-        return ctr
+        return ctr, deferred_out
 
     def _do_checkpoint(self, seq: int) -> None:
         """Checkpoint owner path (any one worker): wait for quiescence
@@ -459,22 +491,24 @@ class StreamWorker:
         n = 0
         idle_sleep = 0.002
         while True:
-            epoch = ray.get(self.coord.begin_lease.remote())
+            epoch = ray.get(self.coord.begin_lease.remote(self.wid))
             if epoch is None:
                 return n
             if epoch == "pause":
-                seq = ray.get(self.coord.acquire_checkpoint.remote())
+                seq = ray.get(self.coord.acquire_checkpoint.remote(self.wid))
                 if seq is not None:
                     self._do_checkpoint(seq)
                 else:
                     time.sleep(0.005)
                 continue
+            self._seq += 1
+            lease_seq = self._seq
             t_dq = time.perf_counter()
             df, src = None, -1
             for j in range(cfg.num_shards):
                 s = (rr + j) % cfg.num_shards
                 tbl = ray.get(self.shards[s].dequeue_stream.remote(
-                    cfg.lease_urls, epoch))
+                    cfg.lease_urls, epoch, self.wid, lease_seq))
                 if tbl.num_rows:
                     df = tbl.to_pandas()
                     df["url_hash"] = df["url_hash"].astype(np.uint64)
@@ -484,6 +518,7 @@ class StreamWorker:
             dq_us = int((time.perf_counter() - t_dq) * 1e6)
             if df is None:
                 ray.get(self.coord.end_lease.remote(
+                    self.wid,
                     {"leases": 1,
                      "t_idle_us": dq_us + int(idle_sleep * 1e6)}))
                 if idle_sleep >= 0.032 and self._drain_check():
@@ -492,14 +527,16 @@ class StreamWorker:
                 idle_sleep = min(idle_sleep * 2, 0.032)
                 continue
             idle_sleep = 0.002
-            ctr = self._process(df, epoch)
+            ctr, deferred = self._process(df, epoch, lease_seq)
             ctr["leases"] = 1
             ctr["t_dequeue_us"] = dq_us
-            # defer/offer RPCs are acked inside _process; only now may the
-            # slice leave the source shard's outstanding count (drain
-            # barrier soundness — see FrontierShard.dequeue_stream).
-            ray.get(self.shards[src].complete_stream.remote(len(df)))
-            ray.get(self.coord.end_lease.remote(ctr))
+            # offer RPCs are acked inside _process; completion atomically
+            # drops the lease's outstanding rows AND re-queues its
+            # deferred subset at the source shard (drain barrier + death
+            # recovery soundness — see FrontierShard.complete_stream).
+            ray.get(self.shards[src].complete_stream.remote(
+                self.wid, lease_seq, deferred, epoch))
+            ray.get(self.coord.end_lease.remote(self.wid, ctr))
             n += 1
 
 
@@ -527,6 +564,9 @@ class StreamCrawlJob:
                                 self.coord, i)
             for i in range(n_workers)
         ]
+        self._wids = list(range(n_workers))
+        self._next_wid = n_workers
+        self._deaths = 0
 
     def prime(self) -> None:
         """Warm every worker's fetch/parse state (benchmarking: excludes
@@ -616,6 +656,74 @@ class StreamCrawlJob:
         ray.get(self.coord.restore_state.remote(st["coord"]))
         return True
 
+    def _supervise(self) -> list[int]:
+        """Fire every worker's ``run_loop`` and wait — recovering from
+        worker-actor DEATHS (RayActorError — a fail-stop signal, so the
+        reclaim can never race a live worker): close the dead worker's
+        coordinator leases (and release checkpoint ownership it may have
+        held), reclaim its outstanding frontier rows at every shard,
+        delete its token-named pairs fragments for exactly the reclaimed
+        leases (their rows are refetched — no dup, no loss), adopt any
+        partition dir its death orphaned mid-promote, and spawn a
+        replacement worker so the fleet size (and the drain) survives
+        even an all-workers massacre. Returns per-worker lease counts
+        (dead workers contribute nothing — their counters beyond the
+        completed leases are lost, a documented schedule-dependent
+        artifact)."""
+        futs = {w.run_loop.remote(): (wid, w)
+                for wid, w in zip(self._wids, self.workers)}
+        leases: list[int] = []
+        while futs:
+            done, _ = ray.wait(list(futs), num_returns=1)
+            fut = done[0]
+            wid, _w = futs.pop(fut)
+            try:
+                leases.append(ray.get(fut))
+            except ray.exceptions.RayActorError:
+                self._recover_worker(wid)
+                if not ray.get(self.coord.is_drained.remote()):
+                    nw_id = self._next_wid
+                    self._next_wid += 1
+                    nw = StreamWorker.remote(
+                        self.cfg, self.seen.shards, self.gates,
+                        self.coord, nw_id)
+                    self.workers.append(nw)
+                    self._wids.append(nw_id)
+                    futs[nw.run_loop.remote()] = (nw_id, nw)
+        return leases
+
+    def _recover_worker(self, wid: int) -> None:
+        self._deaths += 1
+        # 1. coordinator: close open leases, release ckpt ownership
+        ray.get(self.coord.worker_died.remote(wid))
+        # 2. shards: fence the wid + requeue its outstanding lease rows
+        seq_lists = ray.get([s.reclaim_worker.remote(wid)
+                             for s in self.seen.shards])
+        # 3. delete the dead worker's fragments for RECLAIMED leases only
+        # (completed leases' fragments stay — their rows are not refetched)
+        building = os.path.join(self.cfg.out_dir, "pairs",
+                                ".stream.building")
+        for seqs in seq_lists:
+            for seq in seqs:
+                frag = os.path.join(
+                    building, f"part-w{wid:04d}-s{seq:08d}.parquet")
+                if os.path.exists(frag):
+                    os.remove(frag)
+        # 4. adopt any stream partition the death orphaned between the
+        # promote rename and the manifest write (rows exist on disk and
+        # their URLs are marked fetched — without adoption readers would
+        # silently skip them forever)
+        pairs_root = os.path.join(self.cfg.out_dir, "pairs")
+        if os.path.isdir(pairs_root):
+            manifested = set(aio.load_manifest(pairs_root)["partitions"])
+            for d in sorted(os.listdir(pairs_root)):
+                if (d.startswith("stream-part") and d not in manifested
+                        and os.path.isdir(os.path.join(pairs_root, d))):
+                    aio.adopt_partition_dir(
+                        pairs_root, d,
+                        lineage={"mode": "stream", "recovered": True,
+                                 "dead_worker": wid})
+
     def run(self, resume: bool = False, finalize: bool = True) -> dict:
         """Crawl to drain (or the fetch cap). ``resume=True`` continues a
         killed run from its last checkpoint marker (fresh start if none).
@@ -631,8 +739,7 @@ class StreamCrawlJob:
             if os.path.isdir(pairs_root):
                 self._drop_stream_partitions(pairs_root, after_seq=-1)
             n_seeds = self._seed()
-        futs = [w.run_loop.remote() for w in self.workers]
-        leases = ray.get(futs)
+        leases = self._supervise()
         ctr = ray.get(self.coord.counters.remote())
         if finalize:
             aio.promote_fragments(

@@ -92,6 +92,25 @@ def promote_fragments(root: str, key: str, tmpdir: str,
     return rows
 
 
+def adopt_partition_dir(root: str, key: str,
+                        lineage: dict | None = None) -> int:
+    """Crash recovery: record an EXISTING partition directory in the
+    manifest (the promote crash window — ``finalize_partition`` renamed
+    the fragments into place but died before the manifest write; readers
+    would silently skip those rows forever). Row count is recovered from
+    the parquet footers. Returns the adopted row count."""
+    import glob as _glob
+
+    pdir = os.path.join(root, key)
+    frags = _glob.glob(os.path.join(pdir, "*.parquet"))
+    rows = sum(pq.read_metadata(p).num_rows for p in frags)
+    manifest = load_manifest(root)
+    manifest["partitions"][key] = {"rows": rows,
+                                   "lineage": lineage or {"recovered": True}}
+    _store_manifest(root, manifest)
+    return rows
+
+
 def drop_partition(root: str, key: str) -> bool:
     """Remove a partition (dir + manifest entry), idempotently. Used by
     resume paths to roll back partitions promoted after the last complete

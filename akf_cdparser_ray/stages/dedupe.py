@@ -190,6 +190,13 @@ class FrontierShard:
         # check can detect activity between two non-atomic snapshot polls
         self._outstanding = 0
         self._op_gen = 0
+        # per-lease outstanding ROWS, keyed by (worker id, lease seq):
+        # worker-death recovery requeues exactly these (reclaim_worker).
+        # _dead_workers fences late RPCs from a worker the driver has
+        # declared dead (fail-stop: declared only on RayActorError, never
+        # on a timeout — so no zombie can race its own reclaim)
+        self._lease_rows: dict[tuple[int, int], pd.DataFrame] = {}
+        self._dead_workers: set[int] = set()
 
     # -- URL-seen membership ------------------------------------------------
     def check_and_add(self, hashes: list[int]) -> list[bool]:
@@ -232,7 +239,7 @@ class FrontierShard:
 
     def offer_stream(self, canons: list[str], hashes: list[int],
                      hosts: list[str], depths: list[int],
-                     epoch: int = 0) -> int:
+                     epoch: int = 0, wid: int | None = None) -> int:
         """Streaming-mode offer: dedupe against the filter and enqueue
         IMMEDIATELY — no wave buffer, no flush barrier (the streaming
         crawl's continuous frontier). In-call min-merge on
@@ -245,7 +252,10 @@ class FrontierShard:
         up to cuckoo false-positive aliasing (membership probes are
         insertion-order-independent; an FP pair could resolve differently
         only when the aliasing hash is probed before vs after its partner
-        is inserted)."""
+        is inserted). A fenced (dead) worker's late offer is dropped —
+        its lease was reclaimed and the refetch re-offers these links."""
+        if wid is not None and wid in self._dead_workers:
+            return 0
         best: dict[int, tuple] = {}
         hs = np.asarray(hashes, dtype=np.uint64)
         for i, h in enumerate(hs):
@@ -508,29 +518,74 @@ class FrontierShard:
                 + sum(len(r) for _, r in self.future))
 
     # -- streaming-mode lease path (pipelines/stream_crawl.py) --------------
-    def dequeue_stream(self, k: int, epoch: int | None = None) -> pa.Table:
+    def dequeue_stream(self, k: int, epoch: int | None = None,
+                       wid: int = 0, seq: int = 0) -> pa.Table:
         """``dequeue`` plus in-flight accounting: the returned rows are
-        counted as *outstanding* at this shard ATOMICALLY with their
-        removal from the queue, so `pending_total` can never observe the
-        moment where rows are neither queued nor outstanding. The worker
-        acks with ``complete_stream`` only AFTER its defer/offer RPCs are
-        acked — by then every row it touched is re-counted somewhere —
-        which makes the streaming drain barrier sound without any
-        coordinator-side busy counting (that version raced: idle workers'
-        leases kept busy>0 forever)."""
+        kept as *outstanding* at this shard ATOMICALLY with their
+        removal from the queue (stored under the (wid, seq) lease token),
+        so `pending_total` can never observe the moment where rows are
+        neither queued nor outstanding. The worker acks with
+        ``complete_stream`` only AFTER its offer RPCs are acked — by then
+        every row it touched is re-counted somewhere — which makes the
+        streaming drain barrier sound without any coordinator-side busy
+        counting (that version raced: idle workers' leases kept busy>0
+        forever). A dead worker's fenced dequeue returns empty."""
+        if wid in self._dead_workers:
+            return empty_frontier_table()
         tbl = self.dequeue(k, epoch)
         if tbl.num_rows:
+            df = tbl.to_pandas()
+            df["url_hash"] = df["url_hash"].astype(np.uint64)
+            self._lease_rows[(int(wid), int(seq))] = df
             self._outstanding += tbl.num_rows
             self._op_gen += 1
         return tbl
 
-    def complete_stream(self, n: int) -> int:
-        """Worker finished a leased slice (defers and offers already
-        acked). Returns remaining outstanding rows."""
-        self._outstanding -= int(n)
-        self._op_gen += 1
+    def complete_stream(self, wid: int, seq: int,
+                        deferred: pd.DataFrame | None = None,
+                        epoch: int | None = None) -> int:
+        """Worker finished the (wid, seq) leased slice (offers already
+        acked): atomically drop the outstanding rows AND re-queue the
+        lease's politeness-deferred rows (re-eligible next epoch). The
+        defer rides INSIDE completion — a lease's rows all hash to this
+        shard, so a separate defer RPC would only open a crash window
+        where some deferred rows are re-queued while the whole lease is
+        still outstanding (a later worker-death reclaim would then
+        duplicate them). Returns remaining outstanding rows."""
+        df = self._lease_rows.pop((int(wid), int(seq)), None)
+        if df is None:
+            # lease already reclaimed (fenced) — nothing to account
+            return self._outstanding
+        self._outstanding -= len(df)
         assert self._outstanding >= 0, "complete_stream over-ack"
+        if deferred is not None and len(deferred):
+            run = _sort_run(deferred[FRONTIER_COLS])
+            if epoch is None:
+                self._add_run(run)
+            else:
+                self.future.append((epoch + 1, run))
+        self._op_gen += 1
         return self._outstanding
+
+    def reclaim_worker(self, wid: int) -> list[int]:
+        """Worker-death recovery (driver-triggered on a REAL actor death,
+        never a timeout): fence the worker id, then requeue every
+        outstanding lease it held — the rows become immediately
+        re-eligible and a live worker refetches them. Returns the
+        reclaimed lease seqs so the driver can delete the dead worker's
+        token-named pairs fragments for exactly those leases (the
+        refetch rewrites them — no duplicate, no loss)."""
+        self._dead_workers.add(int(wid))
+        seqs: list[int] = []
+        for (w, s) in list(self._lease_rows):
+            if w == int(wid):
+                df = self._lease_rows.pop((w, s))
+                self._outstanding -= len(df)
+                self._add_run(_sort_run(df[FRONTIER_COLS]))
+                seqs.append(s)
+        if seqs:
+            self._op_gen += 1
+        return sorted(seqs)
 
     def pending_total(self) -> int:
         """Queued + deferred + in-flight rows owned by this shard — the
@@ -639,6 +694,9 @@ class FrontierShard:
                 )
         self.pending = {}
         self.offered = {}
+        self._lease_rows = {}
+        self._dead_workers = set()
+        self._outstanding = 0
         return self.filter.count
 
     def size(self) -> int:

@@ -314,3 +314,95 @@ def test_stream_max_fetches_cap_stops_early(tmp_path):
     # partition still finalized consistently with what WAS fetched
     t = aio.read_partitions(str(tmp_path / "cap" / "pairs"))
     assert t.num_rows == c["pairs_rows"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_worker_death_mid_drain_recovers(tmp_path):
+    """Round-5 VERDICT #4: SIGKILL-equivalent worker-actor deaths
+    (ray.kill, no restart) mid-drain must not hang the drain barrier,
+    duplicate a pairs row, or change the fetched set. Two of three
+    workers are killed at different crawl phases; the supervision loop
+    reclaims their outstanding leases, deletes their reclaimed-lease
+    fragments and spawns replacements."""
+    import threading
+    import time
+
+    import ray
+
+    from akf_cdparser_ray.pipelines.stream_crawl import StreamCrawlJob
+
+    ref = _run_stream(_stream_cfg(tmp_path, "wd_ref", corpus_size=400,
+                                  num_workers=3))
+
+    cfg = _stream_cfg(tmp_path, "wd", corpus_size=400, num_workers=3)
+    job = StreamCrawlJob(cfg)
+    box = {}
+
+    def _go():
+        box["res"] = job.run()
+
+    t = threading.Thread(target=_go)
+    t.start()
+    killed = 0
+    deadline = time.time() + 60
+    thresholds = [30, 120]
+    while killed < 2 and time.time() < deadline:
+        c = ray.get(job.coord.counters.remote())
+        if c["fetched"] >= thresholds[killed]:
+            ray.kill(job.workers[killed], no_restart=True)
+            killed += 1
+        time.sleep(0.005)
+    t.join(timeout=180)
+    assert not t.is_alive(), "drain barrier hung after worker death"
+    job.shutdown()
+    assert killed == 2, f"crawl drained before both kills landed ({killed})"
+    res = box["res"]
+
+    ids = aio.read_partitions(str(tmp_path / "wd" / "pairs")) \
+        .column("image_id").to_pylist()
+    assert len(ids) == len(set(ids))                   # zero duplicate pairs
+    assert set(ids) == _pairs_ids(tmp_path / "wd_ref")  # exact fetched set
+    assert res["seen_total"] == ref["seen_total"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_worker_death_during_checkpointing_run(tmp_path):
+    """Worker death interleaved with quiesce-checkpoints: the dead worker
+    may hold checkpoint ownership (released by worker_died) or die around
+    a promote (orphan partitions adopted). Same exactness bar."""
+    import threading
+    import time
+
+    import ray
+
+    from akf_cdparser_ray.pipelines.stream_crawl import StreamCrawlJob
+
+    ref = _run_stream(_stream_cfg(tmp_path, "wdc_ref", corpus_size=400,
+                                  num_workers=3))
+    cfg = _stream_cfg(tmp_path, "wdc", corpus_size=400, num_workers=3,
+                      checkpoint_every_fetches=60)
+    job = StreamCrawlJob(cfg)
+    box = {}
+
+    def _go():
+        box["res"] = job.run()
+
+    t = threading.Thread(target=_go)
+    t.start()
+    deadline = time.time() + 60
+    killed = False
+    while not killed and time.time() < deadline:
+        c = ray.get(job.coord.counters.remote())
+        if c["fetched"] >= 55:  # right at the first checkpoint boundary
+            ray.kill(job.workers[1], no_restart=True)
+            killed = True
+        time.sleep(0.002)
+    t.join(timeout=180)
+    assert not t.is_alive(), "drain barrier hung after worker death"
+    job.shutdown()
+    assert killed, "crawl drained before the kill landed"
+
+    ids = aio.read_partitions(str(tmp_path / "wdc" / "pairs")) \
+        .column("image_id").to_pylist()
+    assert len(ids) == len(set(ids))
+    assert set(ids) == _pairs_ids(tmp_path / "wdc_ref")
