@@ -127,6 +127,13 @@ class StreamCrawlConfig:
     num_shards: int = 16
     num_politeness_shards: int = 8
     num_workers: int = 0            # 0 = cluster CPUs - shards' reservations
+    # epoch-clock shards: workers hash to a coordinator by worker id; a
+    # single coordinator saturates ~10^4 leases/s ≈ 10^6 URLs/s, beyond
+    # which the lease RPCs themselves bottleneck (thousands of workers).
+    # >1 requires drain-to-completion (no max_fetches / checkpoints —
+    # those use the single global clock); epochs advance per coordinator
+    # and politeness refills are monotone-guarded, so skew is safe.
+    num_coordinators: int = 1
     lease_urls: int = 128           # URLs per lease (per worker pull)
     leases_per_epoch: int = 32      # budget-refill cadence (the "wave" stand-in)
     budgets: dict = field(default_factory=dict)
@@ -281,12 +288,15 @@ class StreamWorker:
     """One long-lived crawl worker: fetch/parse state built once
     (actor-pool pattern); the loop runs until the coordinator drains."""
 
-    def __init__(self, cfg: StreamCrawlConfig, shards, gates, coordinator,
+    def __init__(self, cfg: StreamCrawlConfig, shards, gates, coordinators,
                  worker_id: int):
         self.cfg = cfg
         self.shards = shards
         self.gates = gates
-        self.coord = coordinator
+        coords = (coordinators if isinstance(coordinators, list)
+                  else [coordinators])
+        self.coords = coords                      # all (drain declare)
+        self.coord = coords[worker_id % len(coords)]  # my epoch clock
         self.wid = worker_id
         self.fetch_fn = cached_fetch_batch(cfg.corpus_size, cfg.seed)
         self.parse_fn = cached_parse_batch()
@@ -473,7 +483,8 @@ class StreamWorker:
         second = ray.get([s.pending_snapshot.remote() for s in self.shards])
         if sum(p for p, _ in second) or first != second:
             return False
-        ray.get(self.coord.declare_drained.remote())
+        # latch EVERY coordinator shard — each worker polls only its own
+        ray.get([c.declare_drained.remote() for c in self.coords])
         return True
 
     def run_loop(self) -> int:
@@ -554,14 +565,28 @@ class StreamCrawlJob:
                        if cfg.frontier_spill_rows is not None else None))
         self.gates = [PolitenessShard.remote(cfg.budgets)
                       for _ in range(cfg.num_politeness_shards)]
-        self.coord = StreamCoordinator.remote(
-            self.seen.shards, cfg.leases_per_epoch, cfg.max_fetches,
-            cfg.checkpoint_every_fetches)
+        n_coords = max(1, cfg.num_coordinators)
+        if n_coords > 1 and (cfg.max_fetches is not None
+                             or cfg.checkpoint_every_fetches is not None):
+            raise ValueError(
+                "num_coordinators > 1 supports drain-to-completion jobs "
+                "only: max_fetches and checkpoint_every_fetches need the "
+                "single-coordinator global clock")
+        # per-coordinator epoch cadence ≈ the global one: each clock sees
+        # ~1/C of the lease traffic
+        self.coords = [
+            StreamCoordinator.remote(
+                self.seen.shards,
+                max(1, cfg.leases_per_epoch // n_coords),
+                cfg.max_fetches, cfg.checkpoint_every_fetches)
+            for _ in range(n_coords)
+        ]
+        self.coord = self.coords[0]
         n_workers = cfg.num_workers or max(
             2, int(ray.cluster_resources().get("CPU", 8)) - 2)
         self.workers = [
             StreamWorker.remote(cfg, self.seen.shards, self.gates,
-                                self.coord, i)
+                                self.coords, i)
             for i in range(n_workers)
         ]
         self._wids = list(range(n_workers))
@@ -686,7 +711,7 @@ class StreamCrawlJob:
                     self._next_wid += 1
                     nw = StreamWorker.remote(
                         self.cfg, self.seen.shards, self.gates,
-                        self.coord, nw_id)
+                        self.coords, nw_id)
                     self.workers.append(nw)
                     self._wids.append(nw_id)
                     futs[nw.run_loop.remote()] = (nw_id, nw)
@@ -694,8 +719,9 @@ class StreamCrawlJob:
 
     def _recover_worker(self, wid: int) -> None:
         self._deaths += 1
-        # 1. coordinator: close open leases, release ckpt ownership
-        ray.get(self.coord.worker_died.remote(wid))
+        # 1. the worker's own coordinator: close open leases, release
+        # ckpt ownership
+        ray.get(self.coords[wid % len(self.coords)].worker_died.remote(wid))
         # 2. shards: fence the wid + requeue its outstanding lease rows
         seq_lists = ray.get([s.reclaim_worker.remote(wid)
                              for s in self.seen.shards])
@@ -740,7 +766,8 @@ class StreamCrawlJob:
                 self._drop_stream_partitions(pairs_root, after_seq=-1)
             n_seeds = self._seed()
         leases = self._supervise()
-        ctr = ray.get(self.coord.counters.remote())
+        ctrs = ray.get([c.counters.remote() for c in self.coords])
+        ctr = {k: sum(c[k] for c in ctrs) for k in _CTR_KEYS}
         if finalize:
             aio.promote_fragments(
                 pairs_root, "stream-final",
@@ -757,8 +784,9 @@ class StreamCrawlJob:
     def shutdown(self) -> None:
         for w in self.workers:
             ray.kill(w)
-        ray.kill(self.coord)
+        for c in self.coords:
+            ray.kill(c)
         for g in self.gates:
             ray.kill(g)
         self.seen.shutdown()
-        self.workers, self.gates = [], []
+        self.workers, self.gates, self.coords = [], [], []
