@@ -201,6 +201,7 @@ def cmd_crawl(args) -> int:
             out_dir=args.out_dir,
             max_fetches=args.max_fetches,
             checkpoint_every_fetches=args.checkpoint_every,
+            num_coordinators=args.coordinators,
         ))
         summary = sjob.run(resume=args.resume)
         c = summary["counters"]
@@ -298,6 +299,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=None,
                    help="stream mode: quiesce-checkpoint every ~N fetches "
                         "(--resume continues from the last marker)")
+    p.add_argument("--coordinators", type=int, default=1,
+                   help="stream mode: epoch-clock shards (>1 = "
+                        "drain-to-completion jobs only; workers hash to "
+                        "a coordinator by id)")
     p.add_argument("-n", "--parallel", type=int, default=None)
     p.set_defaults(fn=cmd_crawl)
 
