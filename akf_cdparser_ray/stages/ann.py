@@ -43,15 +43,34 @@ class BruteForceScorer:
         return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
 
 
-def bruteforce_topk(emb_ds, query_vectors: dict, k: int = 10, concurrency: int = 2) -> pd.DataFrame:
-    """Exact cosine top-k for each query vector → (query_id, vec_id, rank)."""
+def bruteforce_topk(emb_ds, query_vectors: dict, k: int = 10,
+                    concurrency: int | None = None) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector → (query_id, vec_id, rank).
+
+    Task-based with a per-process cached scorer (round 5): the query
+    matrix ships once via ``ray.put`` and each worker process builds its
+    scorer on first batch — tasks fuse with upstream stages and use
+    every core, where the old actor pool capped the scan at
+    ``concurrency`` actors (kept for API compatibility, now unused).
+    The result is batching-independent: a globally-top-k row is top-k
+    within any batch containing it, so per-batch local top-k + the
+    driver's deterministic (sim desc, vec_id asc) merge is exact."""
+    from .cached import _CACHE
+
     ref = ray.put(query_vectors)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ("bftopk", ref.hex(), k)
+        s = _CACHE.get(key)
+        if s is None:
+            s = _CACHE[key] = BruteForceScorer(ref, k)
+        return s(batch)
+
     partials = emb_ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        score,
         batch_format="pandas",
         batch_size=4096,
-        concurrency=concurrency,
+        num_cpus=1,
     ).to_pandas()
     rows = []
     for qid, group in partials.groupby("query_id"):

@@ -127,11 +127,22 @@ def minhash_lsh_pairs(docs_ds, *, num_perm=64, bands=16, shingle_k=3,
     the golden-pinned queries."""
     import ray
 
-    sigs = docs_ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-        batch_format="pandas", concurrency=concurrency,
-    )
+    # task-based with a per-process cached stage (the read-only perm
+    # params are seeded-deterministic, so every process builds the same
+    # instance): tasks use every core where the actor pool capped the
+    # most expensive stage (shingle+minhash) at `concurrency` actors
+    from .cached import _CACHE
+
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ("minhash", num_perm, bands, shingle_k)
+        st = _CACHE.get(key)
+        if st is None:
+            st = _CACHE[key] = MinHashStage(
+                num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+        return st(batch)
+
+    sigs = docs_ds.map_batches(sig_batch, batch_format="pandas",
+                               num_cpus=1)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs within one band bucket, with a SIZE CAP: a
@@ -413,12 +424,21 @@ def embedding_neardup_pairs(emb_ds, *, threshold=0.95, nbits=12, concurrency=2,
     """
     import logging
 
+    from .cached import _CACHE
+
     first = emb_ds.take(1)[0]
     dim = len(first["embedding"])
     assert nbits <= full_bits
+
+    def code_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ("hyperlsh", dim, full_bits)
+        st = _CACHE.get(key)
+        if st is None:
+            st = _CACHE[key] = HyperplaneLSH(dim=dim, full_bits=full_bits)
+        return st(batch)
+
     with_code = emb_ds.map_batches(
-        HyperplaneLSH, fn_constructor_kwargs={"dim": dim, "full_bits": full_bits},
-        batch_format="pandas", concurrency=concurrency,
+        code_batch, batch_format="pandas", num_cpus=1,
     ).materialize()  # consumed twice: code counts + bucket shuffle
 
     # distributed count of full-depth codes → small driver table
