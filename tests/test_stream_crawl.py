@@ -484,3 +484,45 @@ def test_stream_sharded_coordinators_reject_caps(tmp_path):
     with pytest.raises(ValueError, match="single-coordinator"):
         StreamCrawlJob(_stream_cfg(tmp_path, "bad", num_coordinators=2,
                                    max_fetches=50))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_worker_death_with_spilled_frontier(tmp_path):
+    """Worker death while the frontier tail lives in parquet spill runs
+    (the 10^10-URL memory shape): reclaim re-adds rows through the same
+    _add_run/_maybe_spill path — exactness must hold."""
+    import threading
+    import time
+
+    import ray
+
+    from akf_cdparser_ray.pipelines.stream_crawl import StreamCrawlJob
+
+    ref = _run_stream(_stream_cfg(tmp_path, "sp_ref", corpus_size=400,
+                                  num_workers=3))
+    cfg = _stream_cfg(tmp_path, "sp_wd", corpus_size=400, num_workers=3,
+                      frontier_spill_rows=16)
+    job = StreamCrawlJob(cfg)
+    box = {}
+
+    def _go():
+        box["res"] = job.run()
+
+    t = threading.Thread(target=_go)
+    t.start()
+    deadline = time.time() + 60
+    killed = False
+    while not killed and time.time() < deadline:
+        c = ray.get(job.coord.counters.remote())
+        if c["fetched"] >= 60:
+            ray.kill(job.workers[2], no_restart=True)
+            killed = True
+        time.sleep(0.005)
+    t.join(timeout=180)
+    assert not t.is_alive()
+    job.shutdown()
+    assert killed
+    ids = aio.read_partitions(str(tmp_path / "sp_wd" / "pairs")) \
+        .column("image_id").to_pylist()
+    assert len(ids) == len(set(ids))
+    assert set(ids) == _pairs_ids(tmp_path / "sp_ref")

@@ -51,15 +51,34 @@ cfg = StreamCrawlConfig(
     checkpoint_every_fetches={ckpt_every},
 )
 job = StreamCrawlJob(cfg)
+if {worker_kills}:
+    # compose fault models: random worker-actor deaths (in-job recovery)
+    # while the harness may also SIGKILL the whole job (resume path)
+    import random, threading, time as _t
+
+    def _killer():
+        rng = random.Random(1234)
+        for _i in range({worker_kills}):
+            _t.sleep(0.8 + rng.random() * 1.2)
+            ws = list(job.workers)
+            if ws:
+                try:
+                    ray.kill(ws[rng.randrange(len(ws))], no_restart=True)
+                except Exception:
+                    pass
+
+    threading.Thread(target=_killer, daemon=True).start()
 res = job.run(resume={resume})
 print("CHILD_DONE " + json.dumps(res["counters"]))
 job.shutdown(); ray.shutdown()
 """
 
 
-def _spawn(out: str, corpus: int, ckpt_every: int, resume: bool):
+def _spawn(out: str, corpus: int, ckpt_every: int, resume: bool,
+           worker_kills: int = 0):
     code = _CHILD.format(repo=REPO, corpus=corpus, out=out,
-                         ckpt_every=ckpt_every, resume=resume)
+                         ckpt_every=ckpt_every, resume=resume,
+                         worker_kills=worker_kills)
     return subprocess.Popen(
         [sys.executable, "-c", code], start_new_session=True,
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
@@ -82,9 +101,10 @@ def _pairs_multiset(out: str):
 
 
 def run_case(corpus: int, ckpt_every: int, kill_after: float,
-             ref_multiset) -> dict:
+             ref_multiset, worker_kills: int = 0) -> dict:
     out = tempfile.mkdtemp(prefix="kill_resume_")
-    p = _spawn(out, corpus, ckpt_every, resume=False)
+    p = _spawn(out, corpus, ckpt_every, resume=False,
+               worker_kills=worker_kills)
     time.sleep(kill_after)
     killed = p.poll() is None
     if killed:
@@ -102,6 +122,7 @@ def run_case(corpus: int, ckpt_every: int, kill_after: float,
         "kill_after_s": kill_after,
         "killed_mid_run": killed,
         "had_checkpoint": had_marker,
+        "worker_kills": worker_kills,
         "multiset_matches_reference": ms.equals(ref_multiset),
         "rows": int(ms.sum()),
     }
@@ -111,8 +132,14 @@ def run_case(corpus: int, ckpt_every: int, kill_after: float,
 
 
 def main() -> None:
-    corpus = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
-    kills = [float(a) for a in sys.argv[2:]] or [4.0, 6.0, 8.0]
+    args = sys.argv[1:]
+    worker_kills = 0
+    if "--worker-kills" in args:  # compose actor deaths with the SIGKILL
+        i = args.index("--worker-kills")
+        worker_kills = int(args[i + 1])
+        del args[i:i + 2]
+    corpus = int(args[0]) if args else 6000
+    kills = [float(a) for a in args[1:]] or [4.0, 6.0, 8.0]
     # uninterrupted reference
     ref_out = tempfile.mkdtemp(prefix="kill_resume_ref_")
     p = _spawn(ref_out, corpus, ckpt_every=1 << 30, resume=False)
@@ -123,7 +150,8 @@ def main() -> None:
                       "corpus": corpus}))
     for k in kills:
         print(json.dumps(run_case(corpus, ckpt_every=800, kill_after=k,
-                                  ref_multiset=ref_multiset)))
+                                  ref_multiset=ref_multiset,
+                                  worker_kills=worker_kills)))
 
 
 if __name__ == "__main__":
