@@ -130,9 +130,11 @@ class StreamCrawlConfig:
     # epoch-clock shards: workers hash to a coordinator by worker id; a
     # single coordinator saturates ~10^4 leases/s ≈ 10^6 URLs/s, beyond
     # which the lease RPCs themselves bottleneck (thousands of workers).
-    # >1 requires drain-to-completion (no max_fetches / checkpoints —
-    # those use the single global clock); epochs advance per coordinator
-    # and politeness refills are monotone-guarded, so skew is safe.
+    # Checkpoints work at any C (a triggering shard forwards the pause to
+    # coordinator 0, the global election authority; the owner pauses and
+    # quiesces every clock); max_fetches needs the single global clock.
+    # Epochs advance per coordinator and politeness refills are
+    # monotone-guarded, so skew is safe.
     num_coordinators: int = 1
     lease_urls: int = 128           # URLs per lease (per worker pull)
     leases_per_epoch: int = 32      # budget-refill cadence (the "wave" stand-in)
@@ -232,9 +234,18 @@ class StreamCoordinator:
         return n
 
     # -- checkpoint barrier -------------------------------------------------
+    def set_pausing(self) -> None:
+        """Sharded-clock checkpoint propagation: a worker whose OWN
+        coordinator started pausing forwards the pause to coordinator 0
+        (the global election authority), and the elected owner then
+        pauses every remaining clock. Idempotent."""
+        self._pausing = True
+
     def acquire_checkpoint(self, wid: int = 0) -> int | None:
         """First caller while pausing becomes the checkpoint owner and
-        gets the sequence number; everyone else gets None (wait)."""
+        gets the sequence number; everyone else gets None (wait).
+        Election always runs on coordinator 0 — with sharded clocks the
+        volunteering worker first forwards the pause via set_pausing."""
         if self._pausing and not self._ckpt_owner:
             self._ckpt_owner = True
             self._ckpt_owner_wid = wid
@@ -430,7 +441,11 @@ class StreamWorker:
         later) — otherwise a disk-full mid-checkpoint would leave every
         worker spinning on 'pause' forever."""
         cfg = self.cfg
-        while not ray.get(self.coord.quiesced.remote()):
+        # pause EVERY clock shard (idempotent; with one coordinator this
+        # is the one that already paused), then wait for all open leases
+        # everywhere to end and all shard in-flight rows to drain
+        ray.get([c.set_pausing.remote() for c in self.coords])
+        while not all(ray.get([c.quiesced.remote() for c in self.coords])):
             time.sleep(0.002)
         while sum(ray.get([s.outstanding.remote() for s in self.shards])):
             time.sleep(0.002)
@@ -444,17 +459,21 @@ class StreamWorker:
                 for i, s in enumerate(self.shards)
             ])
             payloads = ray.get([g.serialize.remote() for g in self.gates])
-            state = ray.get(self.coord.state.remote())
+            states = ray.get([c.state.remote() for c in self.coords])
             with open(os.path.join(ckdir, "state.json"), "w") as f:
-                json.dump({"gates": payloads, "coord": state,
+                json.dump({"gates": payloads, "coord": states,
                            # resume must keep the hash-partitioning shape:
                            # a different shard count would probe url hashes
-                           # against the wrong filter page (silent dupes)
+                           # against the wrong filter page (silent dupes);
+                           # the clock-shard count likewise pins the
+                           # per-coordinator state list
                            "shape": {"num_shards": cfg.num_shards,
                                      "num_politeness_shards":
                                          cfg.num_politeness_shards,
                                      "corpus_size": cfg.corpus_size,
-                                     "seed": cfg.seed}}, f)
+                                     "seed": cfg.seed,
+                                     "num_coordinators":
+                                         max(1, cfg.num_coordinators)}}, f)
             aio.promote_fragments(
                 os.path.join(cfg.out_dir, "pairs"), f"stream-part{seq:04d}",
                 self.pairs_tmp, lineage={"mode": "stream", "ckpt": seq})
@@ -463,7 +482,7 @@ class StreamWorker:
                 json.dump({"seq": seq}, f)
             os.replace(tmp, os.path.join(cfg.out_dir, "stream_ckpt.json"))
         finally:
-            ray.get(self.coord.checkpoint_done.remote())
+            ray.get([c.checkpoint_done.remote() for c in self.coords])
 
     def _drain_check(self) -> bool:
         """Double-poll drain proof. A fanned-out multi-shard read is NOT
@@ -506,7 +525,12 @@ class StreamWorker:
             if epoch is None:
                 return n
             if epoch == "pause":
-                seq = ray.get(self.coord.acquire_checkpoint.remote(self.wid))
+                # election is global (coordinator 0): forward the pause
+                # there first when the clock is sharded, then volunteer
+                if self.coords[0] is not self.coord:
+                    ray.get(self.coords[0].set_pausing.remote())
+                seq = ray.get(
+                    self.coords[0].acquire_checkpoint.remote(self.wid))
                 if seq is not None:
                     self._do_checkpoint(seq)
                 else:
@@ -566,19 +590,24 @@ class StreamCrawlJob:
         self.gates = [PolitenessShard.remote(cfg.budgets)
                       for _ in range(cfg.num_politeness_shards)]
         n_coords = max(1, cfg.num_coordinators)
-        if n_coords > 1 and (cfg.max_fetches is not None
-                             or cfg.checkpoint_every_fetches is not None):
+        if n_coords > 1 and cfg.max_fetches is not None:
             raise ValueError(
-                "num_coordinators > 1 supports drain-to-completion jobs "
-                "only: max_fetches and checkpoint_every_fetches need the "
-                "single-coordinator global clock")
+                "num_coordinators > 1 does not support max_fetches: the "
+                "cap is a global count and needs the single-coordinator "
+                "clock (checkpoints ARE supported — the owner pauses "
+                "every clock shard)")
         # per-coordinator epoch cadence ≈ the global one: each clock sees
-        # ~1/C of the lease traffic
+        # ~1/C of the lease traffic; likewise the checkpoint trigger
+        # threshold (any shard hitting its share forwards the pause to
+        # coordinator 0 for the global election)
+        ckpt_every = cfg.checkpoint_every_fetches
+        if ckpt_every is not None and n_coords > 1:
+            ckpt_every = max(1, ckpt_every // n_coords)
         self.coords = [
             StreamCoordinator.remote(
                 self.seen.shards,
                 max(1, cfg.leases_per_epoch // n_coords),
-                cfg.max_fetches, cfg.checkpoint_every_fetches)
+                cfg.max_fetches, ckpt_every)
             for _ in range(n_coords)
         ]
         self.coord = self.coords[0]
@@ -663,9 +692,12 @@ class StreamCrawlJob:
         with open(os.path.join(ckdir, "state.json")) as f:
             st = json.load(f)
         shape = st.get("shape", {})
+        if shape:  # pre-r5 markers carry no clock-shard count
+            shape.setdefault("num_coordinators", 1)
         mine = {"num_shards": self.cfg.num_shards,
                 "num_politeness_shards": self.cfg.num_politeness_shards,
-                "corpus_size": self.cfg.corpus_size, "seed": self.cfg.seed}
+                "corpus_size": self.cfg.corpus_size, "seed": self.cfg.seed,
+                "num_coordinators": len(self.coords)}
         if shape and shape != mine:
             raise ValueError(
                 f"stream resume config mismatch: checkpoint {shape} vs "
@@ -678,7 +710,11 @@ class StreamCrawlJob:
         ])
         ray.get([g.restore.remote(p)
                  for g, p in zip(self.gates, st["gates"])])
-        ray.get(self.coord.restore_state.remote(st["coord"]))
+        saved = st["coord"]
+        if isinstance(saved, dict):  # pre-r5 single-coordinator layout
+            saved = [saved]
+        ray.get([c.restore_state.remote(s)
+                 for c, s in zip(self.coords, saved)])
         return True
 
     def _supervise(self) -> list[int]:
@@ -719,9 +755,14 @@ class StreamCrawlJob:
 
     def _recover_worker(self, wid: int) -> None:
         self._deaths += 1
-        # 1. the worker's own coordinator: close open leases, release
-        # ckpt ownership
-        ray.get(self.coords[wid % len(self.coords)].worker_died.remote(wid))
+        # 1. the worker's own coordinator closes its open leases; with a
+        # sharded clock, coordinator 0 additionally releases checkpoint
+        # ownership the dead worker may have held (election lives there)
+        own = self.coords[wid % len(self.coords)]
+        futs = [own.worker_died.remote(wid)]
+        if own is not self.coords[0]:
+            futs.append(self.coords[0].worker_died.remote(wid))
+        ray.get(futs)
         # 2. shards: fence the wid + requeue its outstanding lease rows
         seq_lists = ray.get([s.reclaim_worker.remote(wid)
                              for s in self.seen.shards])

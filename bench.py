@@ -31,7 +31,7 @@ N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "60000"))
 BENCH_QUERIES = [
     "pricing_summary", "exact_dedup", "event_counters", "token_counts",
     "fingerprints", "window_hourly", "asof_join", "topk_per_shard",
-    "anti_join", "host_counts", "ann_topk", "simhash",
+    "anti_join", "host_counts", "ann_topk", "ivf_topk", "simhash",
     "vocabulary", "approx_distinct", "approx_quantiles",
 ]
 

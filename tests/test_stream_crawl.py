@@ -487,6 +487,52 @@ def test_stream_sharded_coordinators_reject_caps(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_stream_sharded_coordinators_checkpoint_and_resume(tmp_path):
+    """Round-5: global quiesce-checkpoints under a SHARDED clock — any
+    shard's trigger forwards the pause to coordinator 0, the owner
+    pauses/quiesces every clock, and kill-resume (simulated: no final
+    promotion) restores every coordinator's state. Same exactness bar
+    as the single-clock path."""
+    from akf_cdparser_ray.pipelines.stream_crawl import StreamCrawlJob
+
+    ref = _run_stream(_stream_cfg(tmp_path, "cc_ref", num_workers=3))
+    # checkpointed full run at C=2: same fetched set, marker written
+    res = _run_stream(_stream_cfg(tmp_path, "cc", num_workers=3,
+                                  num_coordinators=2,
+                                  checkpoint_every_fetches=80))
+    assert _pairs_ids(tmp_path / "cc") == _pairs_ids(tmp_path / "cc_ref")
+    t = aio.read_partitions(str(tmp_path / "cc" / "pairs"))
+    assert t.num_rows == res["counters"]["pairs_rows"]
+    assert (tmp_path / "cc" / "stream_ckpt.json").exists()
+
+    # kill-and-resume at C=2
+    cfg1 = _stream_cfg(tmp_path, "ckr", num_workers=3, num_coordinators=2,
+                       checkpoint_every_fetches=60)
+    job1 = StreamCrawlJob(cfg1)
+    job1.run(finalize=False)
+    job1.shutdown()
+    assert (tmp_path / "ckr" / "stream_ckpt.json").exists()
+    job2 = StreamCrawlJob(_stream_cfg(tmp_path, "ckr", num_workers=3,
+                                      num_coordinators=2,
+                                      checkpoint_every_fetches=60))
+    job2.run(resume=True)
+    job2.shutdown()
+    ids = aio.read_partitions(str(tmp_path / "ckr" / "pairs")) \
+        .column("image_id").to_pylist()
+    assert len(ids) == len(set(ids))
+    assert set(ids) == _pairs_ids(tmp_path / "cc_ref")
+
+    # resuming a C=2 checkpoint with C=3 must be rejected (state list
+    # is per clock shard)
+    bad = StreamCrawlJob(_stream_cfg(tmp_path, "ckr", num_workers=3,
+                                     num_coordinators=3,
+                                     checkpoint_every_fetches=60))
+    with pytest.raises(ValueError, match="config mismatch"):
+        bad.run(resume=True)
+    bad.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_stream_worker_death_with_spilled_frontier(tmp_path):
     """Worker death while the frontier tail lives in parquet spill runs
     (the 10^10-URL memory shape): reclaim re-adds rows through the same
