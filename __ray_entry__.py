@@ -667,6 +667,19 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(ds, top_k=100)
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination (GPT-3/Pile-style n-gram overlap):
+    documents with doc_id % 97 == 0 stand in for the held-out eval
+    suite; every training doc reports its 3-gram positions and how many
+    also occur in the benchmark set (broadcast small side — the eval
+    grams ship once via ray.put, the corpus streams through one
+    membership pass)."""
+    from akf_cdparser_ray.stages.text_analysis import contamination
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return contamination(ds, n=3, bench_mod=97)
+
+
 def q_interval_join(sf_dir: str):
     """Range join (events self-join): per click event, how many of the
     same user's events land inside the following 10 minutes — both sides
@@ -949,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_approx_distinct,
         "approx_quantiles": q_approx_quantiles,
         "vocabulary": q_vocabulary,
+        "contamination": q_contamination,
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "weighted_sample": q_weighted_sample,
@@ -1138,6 +1152,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
                    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
             FROM documents
+        """,
+        "contamination": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-zäöüß0-9_]+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(t[u.i:u.i+2], ' ') AS g
+                FROM toks, unnest(range(1, len(t) - 3 + 2)) AS u(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            stats AS (SELECT doc_id, greatest(len(t) - 3 + 1, 0) AS n_grams
+                      FROM toks WHERE doc_id % 97 <> 0),
+            hits AS (SELECT gr.doc_id, count(*) AS n_hit
+                     FROM grams gr JOIN bench b ON gr.g = b.g
+                     WHERE gr.doc_id % 97 <> 0 GROUP BY gr.doc_id)
+            SELECT s.doc_id, s.n_grams, coalesce(h.n_hit, 0) AS n_hit
+            FROM stats s LEFT JOIN hits h ON s.doc_id = h.doc_id
+            ORDER BY s.doc_id
         """,
         "quality_scores": """
             SELECT doc_id,

@@ -312,3 +312,64 @@ def scrub_pii_batch(batch, col: str = "text"):
 
     idx = batch.schema.get_field_index(col)
     return batch.set_column(idx, col, scrub_pii_array(batch.column(col)))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination(ds, *, n: int = 3, bench_mod: int = 97):
+    """Benchmark decontamination signal (the GPT-3/Pile n-gram-overlap
+    check): for every TRAINING document, how many of its token n-gram
+    positions also occur in the BENCHMARK set (here: documents whose
+    ``doc_id % bench_mod == 0`` stand in for the held-out eval suite).
+
+    Scale shape — broadcast small side: the benchmark n-gram set is
+    extracted distributedly (per-batch partial sets), unioned on the
+    driver (eval suites are tiny relative to a training corpus), and
+    broadcast once via ``ray.put``; the corpus then streams through one
+    ``map_batches`` membership pass. Tokenizer and gram join are
+    character-identical to the DuckDB mirror (the ``vocabulary`` RE2
+    class + single-space joins), so the oracle comparison is exact.
+
+    Returns (doc_id, n_grams, n_hit) for every non-benchmark document,
+    sorted by doc_id; drop policy (e.g. n_hit > 0) is the caller's."""
+    import ray
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        out: set[str] = set()
+        for did, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            if int(did) % bench_mod == 0:
+                toks = _VOCAB_TOKEN_RE.findall(str(text).lower())
+                out.update(" ".join(toks[i:i + n])
+                           for i in range(len(toks) - n + 1))
+        return pd.DataFrame({"g": pd.Series(sorted(out), dtype="object")})
+
+    gset: set[str] = set()
+    for b in ds.map_batches(bench_grams, batch_format="pandas") \
+            .iter_batches(batch_size=None, batch_format="pandas"):
+        if len(b.columns):
+            gset.update(b["g"])
+    ref = ray.put(frozenset(gset))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(ref) if not isinstance(ref, frozenset) else ref
+        ids, ngs, hits = [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            if int(did) % bench_mod == 0:
+                continue
+            toks = _VOCAB_TOKEN_RE.findall(str(text).lower())
+            m = max(len(toks) - n + 1, 0)
+            ids.append(int(did))
+            ngs.append(m)
+            hits.append(sum(1 for i in range(m)
+                            if " ".join(toks[i:i + n]) in bench))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "n_grams": pd.Series(ngs, dtype="int64"),
+            "n_hit": pd.Series(hits, dtype="int64"),
+        })
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -712,3 +712,34 @@ def test_kmeans_single_scan_of_source():
     q = {0: rng.randn(16).astype(np.float32)}
     ivf_topk(src2, q, k=5, n_centroids=4, nprobe=4, iters=4)
     assert ray.get(ctr2.get.remote()) == n_blocks
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_counts_and_planting():
+    """Benchmark decontamination: exact n-gram-overlap counts vs a brute
+    force, and a planted contaminated doc is flagged while clean docs
+    report zero."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.text_analysis import contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (0, bench_text),                              # benchmark (0 % 97)
+        (97, "eta theta iota kappa"),                 # benchmark too
+        (1, "alpha beta gamma something else here"),  # 1 hit (3-gram)
+        (2, "beta gamma delta epsilon words"),        # 2 hits
+        (3, "totally clean text with no overlap"),
+        (4, "xy"),                                    # < n tokens → 0 grams
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    ds = rd.from_pandas([df.iloc[i::3].reset_index(drop=True)
+                         for i in range(3)])
+    out = contamination(ds, n=3, bench_mod=97)
+    got = {int(r.doc_id): (int(r.n_grams), int(r.n_hit))
+           for r in out.itertuples()}
+    assert set(got) == {1, 2, 3, 4}   # benchmark docs excluded
+    assert got[1] == (4, 1)
+    assert got[2] == (3, 2)
+    assert got[3][1] == 0
+    assert got[4] == (0, 0)
