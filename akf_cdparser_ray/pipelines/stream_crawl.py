@@ -56,9 +56,11 @@ the driver sees counters. Per-lease coordinator traffic is two tiny
 RPCs; at one lease ≈ 128 URLs a single coordinator actor saturates
 around ~10^4 leases/s ≈ 10^6 URLs/s — beyond that (thousands of
 workers on a multi-node cluster), raise ``lease_urls`` first (RPC rate
-falls linearly), then shard the epoch clock the same way the frontier
-is sharded (workers hash to a coordinator by worker id; drain =
-all-coordinators quiesced + Σ shard pending_total == 0, unchanged).
+falls linearly), then set ``num_coordinators`` (IMPLEMENTED, round 5):
+the epoch clock shards like the frontier — workers hash to a
+coordinator by worker id, the drain proof latches every clock shard,
+and checkpoints elect their owner globally at coordinator 0 (measured
+1,890 → 3,142 → 4,670 leases/s at C=1/2/4, BASELINE.md).
 
 CHECKPOINT/RESUME (``checkpoint_every_fetches``): roughly every N
 fetches the coordinator pauses new leases; one worker wins ownership,
