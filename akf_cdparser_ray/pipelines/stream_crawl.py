@@ -188,6 +188,7 @@ class StreamCoordinator:
         self._pausing = False
         self._ckpt_owner = False
         self._ckpt_owner_wid: int | None = None
+        self._dead_workers: set[int] = set()
 
     def begin_lease(self, wid: int = 0) -> int | str | None:
         """None = stop (drained or fetch cap hit); "pause" = a checkpoint
@@ -196,6 +197,10 @@ class StreamCoordinator:
         (deterministic given the schedule, never wall clock): it only
         gates deferred-row visibility and politeness refills, so idle
         leases advancing it merely lets a budget-limited crawl proceed."""
+        if wid in self._dead_workers:
+            # queued RPC from a worker already closed by worker_died:
+            # registering a lease it can never end would hang quiescence
+            return None
         if self._drained or (
             self._max_fetches is not None
             and self._ctr["fetched"] >= self._max_fetches
@@ -212,8 +217,13 @@ class StreamCoordinator:
         return self._leases // self._per_epoch
 
     def end_lease(self, wid: int = 0, counters: dict | None = None) -> None:
+        if wid not in self._open_by:
+            # late RPC from a worker already closed by worker_died —
+            # its leases were reclaimed; decrementing again would drive
+            # _open negative and hang checkpoint quiescence forever
+            return
         self._open -= 1
-        n = self._open_by.get(wid, 0) - 1
+        n = self._open_by[wid] - 1
         if n > 0:
             self._open_by[wid] = n
         else:
@@ -228,6 +238,7 @@ class StreamCoordinator:
         in-flight checkpoint, release ownership so the next volunteer
         restarts the attempt under a fresh sequence number. Returns the
         number of leases closed."""
+        self._dead_workers.add(wid)
         n = self._open_by.pop(wid, 0)
         self._open -= n
         if self._ckpt_owner and self._ckpt_owner_wid == wid:
@@ -248,6 +259,8 @@ class StreamCoordinator:
         gets the sequence number; everyone else gets None (wait).
         Election always runs on coordinator 0 — with sharded clocks the
         volunteering worker first forwards the pause via set_pausing."""
+        if wid in self._dead_workers:  # late RPC from a closed worker
+            return None
         if self._pausing and not self._ckpt_owner:
             self._ckpt_owner = True
             self._ckpt_owner_wid = wid
