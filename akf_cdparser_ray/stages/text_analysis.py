@@ -183,11 +183,12 @@ def vocabulary(ds, top_k: int = 100):
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
     )
-    # the aggregate is |vocabulary| rows — orders smaller than the corpus —
-    # so the final ranking is driver-side (saves a distributed Sort
-    # all-to-all); at a scale where the vocabulary itself is huge, swap
-    # for agg.sort([...]).limit(top_k)
-    df = agg.to_pandas()
+    # rank distributedly: the aggregate is |vocabulary| rows — a web-scale
+    # corpus can have 10^8 distinct terms, so the driver must only ever
+    # see the top_k slice, not the dictionary (round-5 fix of the last
+    # vocab-sized driver pull)
+    df = agg.sort(["df", "term"], descending=[True, False]) \
+        .limit(top_k).to_pandas()
     return (
         df.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
         .head(top_k)
