@@ -667,6 +667,17 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(ds, top_k=100)
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic training-epoch reshuffle: every doc's position in
+    the global permutation ordered by (md5(doc_id||'|ep1'), doc_id) — a
+    range-sharded rank join (no distributed sort, no driver pull; see
+    stages/sampling.epoch_shuffle)."""
+    from akf_cdparser_ray.stages.sampling import epoch_shuffle
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return epoch_shuffle(ds, key="doc_id", epoch=1)
+
+
 def q_contamination(sf_dir: str):
     """Benchmark decontamination (GPT-3/Pile-style n-gram overlap):
     documents with doc_id % 97 == 0 stand in for the held-out eval
@@ -963,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": q_approx_quantiles,
         "vocabulary": q_vocabulary,
         "contamination": q_contamination,
+        "epoch_shuffle": q_epoch_shuffle,
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "weighted_sample": q_weighted_sample,
@@ -1151,6 +1163,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
                    len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5_number_lower(
+                           CAST(doc_id AS VARCHAR) || '|ep1') ASC,
+                                doc_id ASC) - 1 AS pos
             FROM documents
         """,
         "contamination": """

@@ -252,3 +252,36 @@ def test_weighted_sample_k_all_filtered_blocks():
     out0 = weighted_sample_k(rd.from_pandas(zero), "doc_id", "w", k=5,
                              salt="s")
     assert len(out0) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_shuffle_positions():
+    """Deterministic epoch reshuffle: positions form an exact permutation
+    matching a brute-force (hash, key) rank; partitioning-independent;
+    different epochs give different permutations."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.sampling import _hash_col, epoch_shuffle
+
+    ids = np.arange(300, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    ds = rd.from_pandas([df.iloc[i::5].reset_index(drop=True)
+                         for i in range(5)])
+    out = epoch_shuffle(ds, key="doc_id", epoch=2, num_shards=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # brute force: rank by (md5(key||'|ep2'), key)
+    h = _hash_col(ids.tolist(), "|ep2", "md5")
+    order = np.lexsort((ids, h))
+    exp = np.empty(len(ids), dtype=np.int64)
+    exp[order] = np.arange(len(ids))
+    assert out["pos"].to_numpy().tolist() == exp.tolist()
+    assert sorted(out["pos"]) == list(range(len(ids)))  # a permutation
+    # partitioning-independent
+    out2 = epoch_shuffle(rd.from_pandas([df]), key="doc_id", epoch=2,
+                         num_shards=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2["pos"].tolist() == out["pos"].tolist()
+    # epochs decorrelate
+    out3 = epoch_shuffle(ds, key="doc_id", epoch=3, num_shards=8) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out3["pos"].tolist() != out["pos"].tolist()
