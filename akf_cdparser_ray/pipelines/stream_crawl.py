@@ -134,7 +134,13 @@ class StreamCrawlConfig:
     # which the lease RPCs themselves bottleneck (thousands of workers).
     # Checkpoints work at any C (a triggering shard forwards the pause to
     # coordinator 0, the global election authority; the owner pauses and
-    # quiesces every clock); max_fetches needs the single global clock.
+    # quiesces every clock). max_fetches works at any C too: secondaries
+    # forward fetched deltas to coordinator 0 (fire-and-forget — no
+    # blocking fan-out in any actor), which latches a stop flag at the
+    # cap and broadcasts it once; overshoot is bounded by in-flight
+    # leases plus deltas landing during the broadcast — the same
+    # "safety stop, not an exact count" class as the C=1 check, which
+    # already overshoots by whatever the open leases fetch.
     # Epochs advance per coordinator and politeness refills are
     # monotone-guarded, so skew is safe.
     num_coordinators: int = 1
@@ -189,6 +195,13 @@ class StreamCoordinator:
         self._ckpt_owner = False
         self._ckpt_owner_wid: int | None = None
         self._dead_workers: set[int] = set()
+        # sharded-clock fetch cap (wired by the job only when C>1 AND
+        # max_fetches is set): coordinator 0 holds the global count and
+        # the peer handles; secondaries hold coordinator 0's handle
+        self._fetch_stop = False
+        self._global_fetched = 0
+        self._cap_peers: list | None = None    # set on coordinator 0
+        self._cap_primary = None               # set on secondaries
 
     def begin_lease(self, wid: int = 0) -> int | str | None:
         """None = stop (drained or fetch cap hit); "pause" = a checkpoint
@@ -201,10 +214,13 @@ class StreamCoordinator:
             # queued RPC from a worker already closed by worker_died:
             # registering a lease it can never end would hang quiescence
             return None
-        if self._drained or (
+        if self._drained or self._fetch_stop or (
             self._max_fetches is not None
             and self._ctr["fetched"] >= self._max_fetches
         ):
+            # the local-counter check stays meaningful at C>1: a single
+            # clock shard whose own fetched already exceeds the cap
+            # implies the global count does too (global >= any shard)
             return None
         if self._pausing:
             return "pause"
@@ -231,6 +247,47 @@ class StreamCoordinator:
         if counters:
             for k, v in counters.items():
                 self._ctr[k] += int(v)
+            if self._max_fetches is not None:
+                nf = int(counters.get("fetched", 0))
+                if nf:
+                    if self._cap_peers is not None:   # I am coordinator 0
+                        self.note_fetched(nf)
+                    elif self._cap_primary is not None:
+                        # fire-and-forget: the cap is a safety stop, so a
+                        # delta landing a few RPCs late only widens the
+                        # (already documented) bounded overshoot — and a
+                        # blocking get here would serialize every clock
+                        # shard through coordinator 0
+                        self._cap_primary.note_fetched.remote(nf)
+
+    # -- sharded-clock fetch cap (C>1 only; see StreamCrawlConfig) ----------
+    def set_cap_peers(self, peers: list) -> None:
+        """Coordinator 0 only: handles of the other clock shards, for the
+        one-time stop broadcast."""
+        self._cap_peers = list(peers)
+
+    def set_cap_primary(self, primary) -> None:
+        """Secondaries only: coordinator 0's handle for delta forwarding."""
+        self._cap_primary = primary
+
+    def note_fetched(self, n: int) -> None:
+        """Coordinator 0 only: accumulate the global fetched count and,
+        on crossing the cap, latch + broadcast the stop exactly once."""
+        self._global_fetched += int(n)
+        if (not self._fetch_stop and self._max_fetches is not None
+                and self._global_fetched >= self._max_fetches):
+            self._fetch_stop = True
+            for p in (self._cap_peers or []):
+                p.set_fetch_stop.remote()
+
+    def set_fetch_stop(self) -> None:
+        self._fetch_stop = True
+
+    def seed_global_fetched(self, n: int) -> None:
+        """Resume path: re-seed the global count from the checkpoint's
+        per-coordinator counters (and re-latch if already over)."""
+        self._global_fetched = 0
+        self.note_fetched(int(n))
 
     def worker_died(self, wid: int) -> int:
         """Driver-side fail-stop recovery hook: close the dead worker's
@@ -605,12 +662,6 @@ class StreamCrawlJob:
         self.gates = [PolitenessShard.remote(cfg.budgets)
                       for _ in range(cfg.num_politeness_shards)]
         n_coords = max(1, cfg.num_coordinators)
-        if n_coords > 1 and cfg.max_fetches is not None:
-            raise ValueError(
-                "num_coordinators > 1 does not support max_fetches: the "
-                "cap is a global count and needs the single-coordinator "
-                "clock (checkpoints ARE supported — the owner pauses "
-                "every clock shard)")
         # per-coordinator epoch cadence ≈ the global one: each clock sees
         # ~1/C of the lease traffic; likewise the checkpoint trigger
         # threshold (any shard hitting its share forwards the pause to
@@ -626,6 +677,12 @@ class StreamCrawlJob:
             for _ in range(n_coords)
         ]
         self.coord = self.coords[0]
+        if n_coords > 1 and cfg.max_fetches is not None:
+            # wire the cap: coordinator 0 aggregates fetched deltas from
+            # the other clock shards and broadcasts the stop at the cap
+            ray.get([self.coords[0].set_cap_peers.remote(self.coords[1:])]
+                    + [c.set_cap_primary.remote(self.coords[0])
+                       for c in self.coords[1:]])
         n_workers = cfg.num_workers or max(
             2, int(ray.cluster_resources().get("CPU", 8)) - 2)
         self.workers = [
@@ -730,6 +787,11 @@ class StreamCrawlJob:
             saved = [saved]
         ray.get([c.restore_state.remote(s)
                  for c, s in zip(self.coords, saved)])
+        if len(self.coords) > 1 and self.cfg.max_fetches is not None:
+            # re-seed coordinator 0's global count from the checkpoint's
+            # per-shard counters (re-latches the stop if already over)
+            total = sum(int(s["counters"].get("fetched", 0)) for s in saved)
+            ray.get(self.coords[0].seed_global_fetched.remote(total))
         return True
 
     def _supervise(self) -> list[int]:
