@@ -667,6 +667,17 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(ds, top_k=100)
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact substring-level dedup (Lee et al. 2022): maximal spans whose
+    20-byte grams all occur >= 2 times corpus-wide. Vectorized rolling-
+    hash gram counting, two-hop dup-set exchange (sorted plasma shards),
+    searchsorted probe + island merge (stages/substring_dedup.py)."""
+    from akf_cdparser_ray.stages.substring_dedup import duplicated_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicated_spans(ds, L=20)
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic training-epoch reshuffle: every doc's position in
     the global permutation ordered by (md5(doc_id||'|ep1'), doc_id) — a
@@ -975,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary": q_vocabulary,
         "contamination": q_contamination,
         "epoch_shuffle": q_epoch_shuffle,
+        "substring_dedup": q_substring_dedup,
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "weighted_sample": q_weighted_sample,
@@ -1172,6 +1184,36 @@ def oracle_sql() -> dict[str, str]:
                            CAST(doc_id AS VARCHAR) || '|ep1') ASC,
                                 doc_id ASC) - 1 AS pos
             FROM documents
+        """,
+        "substring_dedup": """
+            WITH pos AS (
+                SELECT doc_id, unnest(range(1, length(text) - 20 + 2)) AS p,
+                       text
+                FROM documents WHERE length(text) >= 20
+            ), posg AS (
+                SELECT doc_id, p, substr(text, p::INT, 20) AS g FROM pos
+            ),
+            dup AS (SELECT g FROM posg GROUP BY g HAVING count(*) >= 2),
+            marked AS (
+                SELECT doc_id, p FROM posg
+                WHERE g IN (SELECT g FROM dup)
+            ),
+            lagged AS (
+                SELECT doc_id, p,
+                       lag(p, 1, p - 21) OVER (
+                           PARTITION BY doc_id ORDER BY p) AS lp
+                FROM marked
+            ),
+            isl AS (
+                SELECT doc_id, p,
+                       sum(CASE WHEN p - lp > 20 THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS island
+                FROM lagged
+            )
+            SELECT doc_id, min(p) - 1 AS span_start,
+                   max(p) + 20 - 1 AS span_end
+            FROM isl GROUP BY doc_id, island
         """,
         "contamination": """
             WITH toks AS (
