@@ -667,6 +667,29 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(ds, top_k=100)
 
 
+def q_rollup_counts(sf_dir: str):
+    """Single-pass GROUP BY ROLLUP(lang, source): detail, per-lang and
+    grand-total doc counts + char sums; the per-batch combiner emits all
+    levels so the shuffle moves O(cardinality×levels) partial rows
+    (stages/relational.rollup_counts)."""
+    from akf_cdparser_ray.stages.relational import rollup_counts
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    return rollup_counts(ds, ["lang", "source"], "n_chars",
+                         sum_alias="sum_chars")
+
+
+def q_posting_lists(sf_dir: str):
+    """Inverted-index build for the top-25 document-frequency terms:
+    comma-joined ascending doc_id posting lists
+    (stages/text_analysis.posting_lists; term rank reuses the oracled
+    vocabulary query's df DESC, term ASC order)."""
+    from akf_cdparser_ray.stages.text_analysis import posting_lists
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return posting_lists(ds, top_k=25)
+
+
 def q_substring_dedup(sf_dir: str):
     """Exact substring-level dedup (Lee et al. 2022): maximal spans whose
     20-byte grams all occur >= 2 times corpus-wide. Vectorized rolling-
@@ -987,6 +1010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "epoch_shuffle": q_epoch_shuffle,
         "substring_dedup": q_substring_dedup,
+        "rollup_counts": q_rollup_counts,
+        "posting_lists": q_posting_lists,
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "weighted_sample": q_weighted_sample,
@@ -1184,6 +1209,34 @@ def oracle_sql() -> dict[str, str]:
                            CAST(doc_id AS VARCHAR) || '|ep1') ASC,
                                 doc_id ASC) - 1 AS pos
             FROM documents
+        """,
+        "rollup_counts": """
+            SELECT coalesce(lang, '(all)') AS lang,
+                   coalesce(source, '(all)') AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
+        """,
+        "posting_lists": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-zäöüß0-9_]+')) AS term
+                FROM documents
+            ),
+            top AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                GROUP BY term ORDER BY df DESC, term ASC LIMIT 25
+            ),
+            pairs AS (
+                SELECT DISTINCT term, doc_id FROM toks
+                WHERE term IN (SELECT term FROM top)
+            )
+            SELECT term, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY term
         """,
         "substring_dedup": """
             WITH pos AS (

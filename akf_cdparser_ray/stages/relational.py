@@ -40,3 +40,54 @@ def partial_groupby_sum(
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def rollup_counts(ds, keys: list[str], value_col: str,
+                  sum_alias: str = "sum_value",
+                  total_label: str = "(all)"):
+    """Multi-level GROUP BY ROLLUP in ONE pass over the data: for every
+    prefix of ``keys`` (detail → subtotal → grand total) emit count and
+    ``sum(value_col)``, with rolled-up key columns holding
+    ``total_label`` (the SQL mirror coalesces its ROLLUP NULLs to the
+    same label). Shape: the per-batch combiner computes ALL levels
+    locally (len(keys)+1 tiny pyarrow group_bys per batch), so the
+    shuffle sees one partial row per (level, key-combination, batch) —
+    the all-to-all moves O(cardinality × levels), never rows. Keys must
+    be non-null (count uses the first key's non-null count per level).
+
+    SQL mirror::
+
+        SELECT coalesce(k1,'(all)') k1, ..., count(*) n_docs,
+               sum(v) <sum_alias>
+        FROM t GROUP BY ROLLUP (k1, ...)
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum as RSum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for k in range(len(keys), -1, -1):
+            lvl = keys[:k]
+            if lvl:
+                t = batch.group_by(lvl).aggregate(
+                    [(value_col, "sum"), (lvl[0], "count")])
+                t = t.rename_columns([
+                    {f"{value_col}_sum": "s", f"{lvl[0]}_count": "n"}
+                    .get(c, c) for c in t.schema.names])
+            else:
+                t = pa.table({
+                    "n": pa.array([batch.num_rows], pa.int64()),
+                    "s": pa.array(
+                        [pc.sum(batch.column(value_col)).as_py() or 0],
+                        pa.int64()),
+                })
+            for rolled in keys[k:]:
+                t = t.append_column(
+                    rolled, pa.array([total_label] * t.num_rows))
+            outs.append(t.select(keys + ["n", "s"]))
+        return pa.concat_tables(outs)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).aggregate(
+        RSum("n", alias_name="n_docs"), RSum("s", alias_name=sum_alias))

@@ -374,3 +374,54 @@ def contamination(ds, *, n: int = 3, bench_mod: int = 97):
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def posting_lists(ds, top_k: int = 50) -> pd.DataFrame:
+    """Inverted-index posting lists for the corpus's ``top_k``
+    document-frequency terms (the search-index build step of a training
+    corpus): for each selected term, the comma-joined ascending list of
+    doc_ids containing it. Term selection reuses :func:`vocabulary`
+    (df DESC, term ASC — the oracled rank); the selected term set is
+    broadcast once via ``ray.put`` and each batch emits only its
+    DISTINCT (term, doc_id) pairs for those terms, so the term-keyed
+    shuffle carries at most top_k × n_docs id pairs — never token
+    occurrences. Posting lists themselves are per-term map_groups
+    outputs; with bounded top_k the result is driver-small by
+    construction (cap top_k, not the lists, to bound memory)."""
+    import ray
+
+    terms = vocabulary(ds, top_k=top_k)["term"].tolist()
+    terms_ref = ray.put(frozenset(terms))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        tset = ray.get(terms_ref)
+        t_out, d_out = [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            for tok in set(_VOCAB_TOKEN_RE.findall(str(text).lower())):
+                if tok in tset:
+                    t_out.append(tok)
+                    d_out.append(doc_id)
+        return pd.DataFrame({"term": pd.Series(t_out, dtype="object"),
+                             "doc_id": pd.Series(d_out, dtype="int64")})
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "doc_id" not in g.columns:  # empty shuffle block
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64"),
+                                 "postings": pd.Series(dtype="object")})
+        ids = np.unique(g["doc_id"].to_numpy())
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "df": pd.Series([len(ids)], dtype="int64"),
+            "postings": [",".join(str(i) for i in ids)],
+        })
+
+    out = (ds.map_batches(pairs, batch_format="pandas")
+             .groupby("term").map_groups(join_group,
+                                         batch_format="pandas"))
+    frames = [b for b in out.iter_batches(batch_format="pandas")
+              if len(b.columns)]
+    res = (pd.concat(frames, ignore_index=True) if frames
+           else join_group(pd.DataFrame()))
+    return (res.sort_values("term").reset_index(drop=True)
+            [["term", "df", "postings"]])

@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "fingerprints", "window_hourly", "asof_join", "topk_per_shard",
     "anti_join", "host_counts", "ann_topk", "ivf_topk", "simhash",
     "vocabulary", "approx_distinct", "approx_quantiles",
-    "contamination", "epoch_shuffle",
+    "contamination", "epoch_shuffle", "substring_dedup",
 ]
 
 

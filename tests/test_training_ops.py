@@ -743,3 +743,82 @@ def test_contamination_counts_and_planting():
     assert got[2] == (3, 2)
     assert got[3][1] == 0
     assert got[4] == (0, 0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_counts_matches_pandas_and_is_layout_independent():
+    """GROUP BY ROLLUP in one pass: every level's counts/sums equal a
+    pandas reference, identical across block layouts."""
+    import numpy as np
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.relational import rollup_counts
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "lang": rng.choice(["de", "en", "fr"], 200),
+        "source": rng.choice(["web", "book"], 200),
+        "n_chars": rng.integers(1, 1000, 200).astype("int64"),
+    })
+    outs = []
+    for nblocks in (1, 6):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = (rollup_counts(ds, ["lang", "source"], "n_chars",
+                             sum_alias="sum_chars")
+               .to_pandas()
+               .sort_values(["lang", "source"]).reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # reference: pandas at each level
+    detail = (df.groupby(["lang", "source"], as_index=False)
+              .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")))
+    got = outs[0]
+    for _, r in detail.iterrows():
+        row = got[(got["lang"] == r["lang"]) & (got["source"] == r["source"])]
+        assert row["n_docs"].iloc[0] == r["n_docs"]
+        assert row["sum_chars"].iloc[0] == r["sum_chars"]
+    for lang, g in df.groupby("lang"):
+        row = got[(got["lang"] == lang) & (got["source"] == "(all)")]
+        assert row["n_docs"].iloc[0] == len(g)
+        assert row["sum_chars"].iloc[0] == g["n_chars"].sum()
+    grand = got[(got["lang"] == "(all)") & (got["source"] == "(all)")]
+    assert grand["n_docs"].iloc[0] == len(df)
+    assert grand["sum_chars"].iloc[0] == df["n_chars"].sum()
+    assert len(got) == len(detail) + df["lang"].nunique() + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_posting_lists_brute_force_and_layout():
+    """Inverted index: postings equal a brute-force build for the top-df
+    terms, independent of block layout."""
+    import numpy as np
+    import ray.data as rd
+    import re as _re
+
+    from akf_cdparser_ray.stages.text_analysis import posting_lists
+
+    rng = np.random.default_rng(9)
+    words = ["apfel", "birne", "citrus", "dattel", "erdbeere"]
+    texts = [" ".join(rng.choice(words, 8)) for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts})
+    outs = []
+    for nblocks in (1, 5):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        outs.append(posting_lists(ds, top_k=3))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # brute force: df per term, top-3 by (df desc, term asc)
+    tok = _re.compile(r"[a-zäöüß0-9_]+")
+    docs_of = {}
+    for i, t in enumerate(texts):
+        for w in set(tok.findall(t.lower())):
+            docs_of.setdefault(w, set()).add(i)
+    top3 = sorted(docs_of, key=lambda w: (-len(docs_of[w]), w))[:3]
+    exp = pd.DataFrame({
+        "term": sorted(top3),
+        "df": pd.Series([len(docs_of[t]) for t in sorted(top3)],
+                        dtype="int64"),
+        "postings": [",".join(map(str, sorted(docs_of[t])))
+                     for t in sorted(top3)],
+    })
+    pd.testing.assert_frame_equal(outs[0], exp)
