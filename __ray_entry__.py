@@ -667,6 +667,32 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(ds, top_k=100)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means in embedding space, then
+    per-cluster greedy cosine dedup keeping the lowest vec_id
+    (stages/ann.semdedup). The table has no natural near-dups (max
+    pairwise cos ~0.51), so the query plants deterministic exact clones
+    of every 10th vector under vec_id+10_000_000 — the operator must
+    keep each original and drop its clone. rows-only: iterative
+    float k-means has no SQL mirror; the golden pins repartition(8)
+    (kmeans' fixed-partitioning float caveat)."""
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.ann import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def with_clones(batch: pd.DataFrame) -> pd.DataFrame:
+        clones = batch[batch["vec_id"] % 10 == 0].copy()
+        clones["vec_id"] = clones["vec_id"] + 10_000_000
+        return pd.concat([batch, clones], ignore_index=True)
+
+    planted = ds.map_batches(with_clones, batch_format="pandas") \
+        .repartition(8)
+    out = semdedup(planted, k=8, iters=4, tau=0.9).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_rollup_counts(sf_dir: str):
     """Single-pass GROUP BY ROLLUP(lang, source): detail, per-lang and
     grand-total doc counts + char sums; the per-batch combiner emits all
@@ -1012,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": q_substring_dedup,
         "rollup_counts": q_rollup_counts,
         "posting_lists": q_posting_lists,
+        "semdedup": q_semdedup,
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "weighted_sample": q_weighted_sample,

@@ -314,3 +314,74 @@ def ivf_topk(emb_ds, query_vectors: dict, k: int = 10, n_centroids: int = 16,
 
     cand = emb_ds.map_batches(filter_probed, batch_format="pandas")
     return bruteforce_topk(cand, query_vectors, k, concurrency)
+
+
+def semdedup(emb_ds, k: int = 16, iters: int = 4, tau: float = 0.95,
+             salt: str = "semdedup"):
+    """SemDeDup (Abbas et al., 2023): semantic deduplication in
+    embedding space — k-means the unit-normalized embeddings with the
+    trained quantizer (:func:`kmeans_ds`), then within each cluster
+    greedily keep the lowest ``vec_id`` of every cosine>=tau duplicate
+    group and mark the rest for dropping. Returns a Dataset with columns
+    ``(vec_id, cluster, keep)``.
+
+    Scale shape: centroids broadcast once (``ray.put``); assignment is a
+    per-batch matmul; the ONLY embedding shuffle is the cluster-keyed
+    groupby (the paper's trick — choose k ≈ N/target_cluster_size so the
+    per-cluster Gram matrix fits a worker; pairwise work is
+    O(Σ cluster²), never O(N²)). The greedy keep scan is deterministic:
+    rows sort vec_id-ascending inside each cluster, so a duplicate group
+    always keeps its smallest id regardless of layout. Centroids (and
+    therefore assignments near cluster boundaries) inherit k-means'
+    fixed-partitioning float caveat — pin ``repartition(...)`` upstream
+    where golden stability matters."""
+    proj = _project_embeddings(emb_ds)
+    cent = kmeans_ds(proj, k=k, iters=iters, salt=salt,
+                     _pre_projected=True)
+    cent_ref = ray.put(cent)
+
+    def _unit(mat: np.ndarray) -> np.ndarray:
+        return mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch) or "vec_id" not in batch.columns:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "cluster": pd.Series(dtype="int64"),
+                                 "embedding": pd.Series(dtype="object")})
+        C = ray.get(cent_ref)
+        X = _unit(np.stack(batch["embedding"].to_numpy())
+                  .astype(np.float64))
+        a = (X @ C.T).argmax(axis=1)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].astype("int64").to_numpy(),
+            "cluster": a.astype("int64"),
+            "embedding": batch["embedding"].to_numpy(),
+        })
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                              "cluster": pd.Series(dtype="int64"),
+                              "keep": pd.Series(dtype="bool")})
+        if not len(g) or "vec_id" not in g.columns:
+            return empty
+        g = g.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        X = _unit(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        m = len(g)
+        keep = np.ones(m, dtype=bool)
+        G = X @ X.T
+        for i in range(1, m):
+            # kept rows before i — a duplicate of a DROPPED row may
+            # itself survive iff it is not tau-close to any kept one
+            # (the paper's greedy semantics)
+            if (G[i, :i][keep[:i]] >= tau).any():
+                keep[i] = False
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].astype("int64"),
+            "cluster": g["cluster"].astype("int64"),
+            "keep": pd.Series(keep, dtype="bool"),
+        })
+
+    return (proj.map_batches(assign, batch_format="pandas",
+                             batch_size=None)
+                .groupby("cluster")
+                .map_groups(dedup_group, batch_format="pandas"))

@@ -38,6 +38,8 @@ GOLDENS = {
     "curate": "bd97ff580d65626d037c6a8678c2bf62f316ea078f0a4b8b01faefe7b34dd5f2",
     # kmeans partial-fold order is pinned by the query's repartition(8)
     "ivf_topk": "9c35800bbf30c8240a4c3f018ef3a419b74286d14f4914ae6500ed04df214326",
+    # same kmeans pin; planted clones (every 10th vec_id) must all drop
+    "semdedup": "03ae93ed3230b54b910586c074cdd7c0ffd70a36a4f1a250f144a5cc12c17e39",
 }
 
 SF_DIR = "/root/testdata/sf0.01"

@@ -822,3 +822,54 @@ def test_posting_lists_brute_force_and_layout():
                      for t in sorted(top3)],
     })
     pd.testing.assert_frame_equal(outs[0], exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_planted_duplicate_groups():
+    """SemDeDup: planted exact + near duplicates inside well-separated
+    gaussian clusters — each duplicate group keeps exactly its lowest
+    vec_id; singletons all survive; layout-independent for separated
+    clusters."""
+    import numpy as np
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.ann import semdedup
+
+    rng = np.random.default_rng(17)
+    # 3 well-separated cluster centers in 16-d; noise large enough that
+    # ordinary cluster members stay far below tau in cosine (~0.6) while
+    # the planted dups are >= 0.999
+    centers = np.eye(3, 16) * 5.0
+    rows = []
+    vid = 0
+    dup_groups = []
+    for c in range(3):
+        for i in range(12):
+            v = centers[c] + rng.normal(0, 1.0, 16)
+            rows.append((vid, v.astype(np.float32))); vid += 1
+        # one exact-dup pair and one near-dup pair per cluster
+        base = centers[c] + rng.normal(0, 1.0, 16)
+        rows.append((vid, base.astype(np.float32)))
+        rows.append((vid + 1, base.astype(np.float32)))          # exact
+        dup_groups.append((vid, vid + 1)); vid += 2
+        near = base + rng.normal(0, 1e-3, 16)
+        rows.append((vid, near.astype(np.float32)))              # near base
+        dup_groups.append((vid - 2, vid)); vid += 1
+    df = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                       "embedding": [r[1] for r in rows]})
+    outs = []
+    for nblocks in (1, 4):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = (semdedup(ds, k=3, iters=4, tau=0.999)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0].set_index("vec_id")["keep"]
+    for keep_id, drop_id in dup_groups:
+        assert bool(got[keep_id]) or keep_id in {d for _, d in dup_groups}
+        assert not bool(got[drop_id])
+    # all non-duplicate vectors survive
+    dup_ids = {i for pair in dup_groups for i in pair}
+    for v in df["vec_id"]:
+        if v not in dup_ids:
+            assert bool(got[v])
