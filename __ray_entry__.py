@@ -667,6 +667,61 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(ds, top_k=100)
 
 
+def q_pagerank(_sf_dir: str):
+    """PageRank over the synthetic crawl's own link graph (the crawl
+    engine's link-authority prioritization signal): fetch a fixed
+    1,500-page slice of the deterministic corpus, extract links, run 10
+    distributed power iterations (stages/graph.pagerank_ds — edges
+    exchanged once to plasma shards, two co-partitioned map_groups hops
+    per iteration, bit-deterministic fixed-order float sums). rows-only:
+    iterative float PageRank has no SQL mirror."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.cached import cached_fetch_batch
+    from akf_cdparser_ray.stages.graph import pagerank_ds
+    from akf_cdparser_ray.stages.links import (
+        canonicalize_url,
+        canonicalize_urls,
+        extract_links,
+        url_hash64,
+    )
+    from akf_cdparser_ray.sources.synth import page_url_for_idx
+
+    n_pages = 1500
+    urls = [canonicalize_url(page_url_for_idx(i)) for i in range(n_pages)]
+    ds = rd.from_items([{"url_canon": u, "depth": 0} for u in urls],
+                       override_num_blocks=32)
+
+    def edges_fn(batch: pa.Table) -> pd.DataFrame:
+        src_out, dst_out = [], []
+        for url, html, status in zip(batch.column("url").to_pylist(),
+                                     batch.column("html").to_pylist(),
+                                     batch.column("fetch_status")
+                                          .to_pylist()):
+            if status != "200" or not html:
+                continue
+            links = canonicalize_urls(extract_links(html, url))
+            if not links:
+                continue
+            sh = url_hash64(canonicalize_url(url))
+            src_out.extend([sh] * len(links))
+            dst_out.extend(url_hash64(c) for c in links)
+        import numpy as np
+
+        # url_hash64 is unsigned 64-bit — bit-view to int64 node ids
+        return pd.DataFrame({
+            "src": np.array(src_out, dtype=np.uint64).view(np.int64),
+            "dst": np.array(dst_out, dtype=np.uint64).view(np.int64)})
+
+    edges = (ds.map_batches(cached_fetch_batch(n_pages),
+                            batch_format="pyarrow", batch_size=128)
+               .map_batches(edges_fn, batch_format="pyarrow"))
+    out = pagerank_ds(edges, iters=10, num_shards=8).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means in embedding space, then
     per-cluster greedy cosine dedup keeping the lowest vec_id
@@ -1039,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_counts": q_rollup_counts,
         "posting_lists": q_posting_lists,
         "semdedup": q_semdedup,
+        "pagerank": q_pagerank,
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "weighted_sample": q_weighted_sample,

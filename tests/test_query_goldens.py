@@ -40,6 +40,9 @@ GOLDENS = {
     "ivf_topk": "9c35800bbf30c8240a4c3f018ef3a419b74286d14f4914ae6500ed04df214326",
     # same kmeans pin; planted clones (every 10th vec_id) must all drop
     "semdedup": "03ae93ed3230b54b910586c074cdd7c0ffd70a36a4f1a250f144a5cc12c17e39",
+    # bit-deterministic by construction (fixed-order hop-2 sums), no
+    # partitioning pin needed; 1,500-page synth link graph, 10 iters
+    "pagerank": "c7b57fbc767cc9032175ff52fe5b5211edf3c6711fc4b9d1e7fbc01bb2f76993",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
