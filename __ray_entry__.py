@@ -667,6 +667,18 @@ def q_vocabulary(sf_dir: str):
     return vocabulary(ds, top_k=100)
 
 
+def q_latest_event(sf_dir: str):
+    """Latest event per user (grouped argmax): per-batch winners only
+    enter the user-keyed shuffle (stages/windows.latest_per_group);
+    total order via (ts DESC, event_id DESC)."""
+    from akf_cdparser_ray.stages.windows import latest_per_group
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return latest_per_group(ds, "user_id", ["ts", "event_id"],
+                            ["user_id", "event_id", "ts", "event_type"])
+
+
 def q_pagerank(_sf_dir: str):
     """PageRank over the synthetic crawl's own link graph (the crawl
     engine's link-authority prioritization signal): fetch a fixed
@@ -1095,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_lists": q_posting_lists,
         "semdedup": q_semdedup,
         "pagerank": q_pagerank,
+        "latest_event": q_latest_event,
         "hash_split": q_hash_split,
         "bottomk_sample": q_bottomk_sample,
         "weighted_sample": q_weighted_sample,
@@ -1292,6 +1305,15 @@ def oracle_sql() -> dict[str, str]:
                            CAST(doc_id AS VARCHAR) || '|ep1') ASC,
                                 doc_id ASC) - 1 AS pos
             FROM documents
+        """,
+        "latest_event": """
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "rollup_counts": """
             SELECT coalesce(lang, '(all)') AS lang,

@@ -385,3 +385,39 @@ def interval_join_partitioned(points_ds, anchors_ds, minutes: int = 10,
                              "n_points": pd.Series(dtype="int64")})
     df = pd.concat(frames, ignore_index=True)
     return df.sort_values("anchor_id").reset_index(drop=True)
+
+
+def latest_per_group(ds, group: str, order_cols: list[str],
+                     keep_cols: list[str]):
+    """Grouped argmax ("latest row per key"): for each ``group`` value,
+    the single row maximal under ``order_cols`` (descending, left-to-
+    right tie-break). The classic mergeable aggregate shape: each batch
+    keeps only ITS per-group winner (drop_duplicates after a mergesort),
+    so the group-keyed shuffle carries one candidate row per
+    (group, batch) — never the events; the final per-group pick is the
+    same deterministic comparator, so block layout cannot change the
+    result (total order required: make the last order column a unique
+    id). SQL mirror: ``row_number() OVER (PARTITION BY group ORDER BY
+    order_cols DESC) = 1``."""
+    cols = [group] + [c for c in keep_cols if c != group]
+
+    def _pick(frame: pd.DataFrame) -> pd.DataFrame:
+        f = frame.sort_values(
+            [group] + order_cols,
+            ascending=[True] + [False] * len(order_cols),
+            kind="mergesort")
+        return f.drop_duplicates(group, keep="first")[cols] \
+            .reset_index(drop=True)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if group not in batch.columns or not len(batch):
+            return pd.DataFrame(columns=cols)
+        return _pick(batch)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if group not in g.columns or not len(g):
+            return pd.DataFrame(columns=cols)
+        return _pick(g)
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby(group).map_groups(final, batch_format="pandas"))

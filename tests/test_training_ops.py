@@ -873,3 +873,37 @@ def test_semdedup_planted_duplicate_groups():
     for v in df["vec_id"]:
         if v not in dup_ids:
             assert bool(got[v])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_latest_per_group_matches_pandas_and_layout():
+    """Grouped argmax: equals a pandas row_number reference, identical
+    across block layouts, deterministic tie-break on the unique id."""
+    import numpy as np
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.windows import latest_per_group
+
+    rng = np.random.default_rng(21)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "ts": rng.integers(0, 50, n).astype(np.int64),  # many ts ties
+        "event_type": rng.choice(["a", "b", "c"], n),
+    })
+    exp = (df.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False], kind="mergesort")
+           .drop_duplicates("user_id")
+           [["user_id", "event_id", "ts", "event_type"]]
+           .sort_values("user_id").reset_index(drop=True))
+    outs = []
+    for nblocks in (1, 6):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = (latest_per_group(ds, "user_id", ["ts", "event_id"],
+                                ["user_id", "event_id", "ts",
+                                 "event_type"])
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], exp)
