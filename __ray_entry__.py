@@ -679,6 +679,72 @@ def q_latest_event(sf_dir: str):
                             ["user_id", "event_id", "ts", "event_type"])
 
 
+def q_cube_counts(sf_dir: str):
+    """Single-pass GROUP BY CUBE(lang, source): all four margin levels
+    (detail, per-lang, per-source, grand total) of doc counts + char
+    sums; per-batch combiner emits every level so the shuffle moves
+    O(cardinality×2^k) partials (stages/relational.cube_counts)."""
+    from akf_cdparser_ray.stages.relational import cube_counts
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    return cube_counts(ds, ["lang", "source"], "n_chars",
+                       sum_alias="sum_chars")
+
+
+def q_rolling_window(sf_dir: str):
+    """SQL window functions per user stream: lag/lead/3-row rolling sum/
+    row_number over (ts, event_id) order — one user-keyed shuffle, then a
+    vectorized per-partition pandas kernel
+    (stages/windows.rolling_window_stats). Integer-cent values keep the
+    rolling sum bit-exact vs the DuckDB oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from akf_cdparser_ray.stages.windows import rolling_window_stats
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        rmode = {"round_mode": "half_towards_infinity"}
+        vc = pc.cast(pc.round(pc.multiply(batch["value"], 100.0), **rmode),
+                     pa.int64())
+        return pa.table({"event_id": batch["event_id"], "ts": batch["ts"],
+                         "user_id": batch["user_id"], "value_c": vc})
+
+    return rolling_window_stats(ds.map_batches(cents, batch_format="pyarrow"))
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Bloom-join: customers having at least one order. The order custkey
+    set builds per-shard partial bloom pages (OR-merged, layout-
+    independent), each probe batch prefilters against the ONE broadcast
+    bit array, and survivors verify exactly against sorted plasma id
+    shards — zero false negatives, false positives removed
+    (stages/windows.semi_join_ids)."""
+    from akf_cdparser_ray.stages.windows import semi_join_ids
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    return semi_join_ids(cust, orders, key="c_custkey", ids_key="o_custkey",
+                         num_shards=8)
+
+
+def q_left_join(sf_dir: str):
+    """LEFT OUTER shuffle hash join: every customer with each of their
+    orders, orderless customers kept with a null o_orderkey — the same
+    co-partitioned exchange as the inner join, left nulls/no-matches
+    surviving per bucket (stages/crossjoin.shuffle_hash_join
+    how='left')."""
+    from akf_cdparser_ray.stages.crossjoin import shuffle_hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    return shuffle_hash_join(
+        cust, orders, left_key="c_custkey", right_key="o_custkey",
+        left_cols=["c_custkey", "c_mktsegment"], right_cols=["o_orderkey"],
+        how="left")
+
+
 def q_pagerank(_sf_dir: str):
     """PageRank over the synthetic crawl's own link graph (the crawl
     engine's link-authority prioritization signal): fetch a fixed
@@ -1104,6 +1170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "substring_dedup": q_substring_dedup,
         "rollup_counts": q_rollup_counts,
+        "cube_counts": q_cube_counts,
+        "rolling_window": q_rolling_window,
+        "bloom_semijoin": q_bloom_semijoin,
+        "left_join": q_left_join,
         "posting_lists": q_posting_lists,
         "semdedup": q_semdedup,
         "pagerank": q_pagerank,
@@ -1322,6 +1392,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             GROUP BY ROLLUP (lang, source)
+        """,
+        "cube_counts": """
+            SELECT coalesce(lang, '(all)') AS lang,
+                   coalesce(source, '(all)') AS source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY CUBE (lang, source)
+        """,
+        "rolling_window": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS vc
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(lag(vc) OVER w AS DOUBLE) AS lag_c,
+                   CAST(lead(vc) OVER w AS DOUBLE) AS lead_c,
+                   CAST(sum(vc) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS roll_c,
+                   row_number() OVER w AS rn
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "bloom_semijoin": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "left_join": """
+            -- DOUBLE casts: the engine's shuffle join unions the two tagged
+            -- sides (disjoint columns null-padded), so numeric outputs are
+            -- float64 — exactly like a fetched nullable BIGINT
+            SELECT CAST(c_custkey AS DOUBLE) AS c_custkey, c_mktsegment,
+                   CAST(o_orderkey AS DOUBLE) AS o_orderkey
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         """,
         "posting_lists": """
             WITH toks AS (

@@ -118,7 +118,8 @@ def broadcast_hash_join(large_ds, small_df: pd.DataFrame, key: str):
 def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
                       num_buckets: int = 32,
                       left_cols: list[str] | None = None,
-                      right_cols: list[str] | None = None):
+                      right_cols: list[str] | None = None,
+                      how: str = "inner"):
     """Big-×-big equi-join: co-partition BOTH sides on ``hash(key) %
     num_buckets`` (one explicit all-to-all; pandas' deterministic siphash so
     integer-correlated keys don't skew buckets; numeric keys are normalized
@@ -130,9 +131,17 @@ def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     (a map_batches pipeline would partially execute just to report names).
     Skewed keys: all rows of one key share a bucket — salt the key and
     replicate the smaller side per salt when one key dominates (same recipe
-    as the crawl's hot-host splitting)."""
+    as the crawl's hot-host splitting).
+
+    ``how="left"`` gives LEFT OUTER semantics: unmatched (or null-key) left
+    rows survive with the right columns null — same co-partition shape; the
+    only changes are that left null keys are kept (they bucket normally but
+    can never match, because right nulls ARE dropped — pandas merge would
+    otherwise match NaN to NaN) and each bucket joins ``how="left"``."""
     import pandas as pd
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: only inner/left supported")
     if left_cols is None:
         left_cols = list(left_ds.schema().names)
     if right_cols is None:
@@ -147,8 +156,11 @@ def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
         return (pd.util.hash_array(vals) % num_buckets).astype("int64")
 
     def tag(side: int, key: str):
+        keep_nulls = how == "left" and side == 0
+
         def f(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch[batch[key].notna()].copy()  # null keys never join
+            out = batch if keep_nulls else batch[batch[key].notna()]
+            out = out.copy()  # null keys never join (right side drops them)
             out["_jk"] = out[key]
             out["_bucket"] = _bucket_of(out[key])
             out["_side"] = side
@@ -158,11 +170,13 @@ def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         # reindex, not .loc: a group block holding rows of only one side
         # lacks the other side's columns entirely
+        if "_side" not in group.columns:  # column-less empty shuffle block
+            return pd.DataFrame()
         left = group[group["_side"] == 0].reindex(columns=left_cols + ["_jk"])
         right = group[group["_side"] == 1].reindex(columns=right_cols + ["_jk"])
-        if left.empty or right.empty:
+        if left.empty or (right.empty and how == "inner"):
             return pd.DataFrame()
-        return left.merge(right, on="_jk").drop(columns=["_jk"])
+        return left.merge(right, on="_jk", how=how).drop(columns=["_jk"])
 
     tagged = left_ds.map_batches(tag(0, left_key), batch_format="pandas").union(
         right_ds.map_batches(tag(1, right_key), batch_format="pandas")

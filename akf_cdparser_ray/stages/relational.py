@@ -91,3 +91,55 @@ def rollup_counts(ds, keys: list[str], value_col: str,
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(keys).aggregate(
         RSum("n", alias_name="n_docs"), RSum("s", alias_name=sum_alias))
+
+
+def cube_counts(ds, keys: list[str], value_col: str,
+                sum_alias: str = "sum_value",
+                total_label: str = "(all)"):
+    """GROUP BY CUBE in ONE pass: every SUBSET of ``keys`` (2^k levels —
+    detail, each partial margin, grand total) gets count + ``sum(value_col)``,
+    rolled-up key columns holding ``total_label``. Same shape as
+    :func:`rollup_counts` (which emits only key PREFIXES): the per-batch
+    combiner computes all 2^k tiny pyarrow group_bys locally, so the
+    all-to-all shuffle moves O(cardinality × 2^k) partial rows, never data
+    rows. ``keys`` must be short (2-4) — that is what CUBE is for.
+
+    SQL mirror::
+
+        SELECT coalesce(k1,'(all)') k1, ..., count(*) n_docs,
+               sum(v) <sum_alias>
+        FROM t GROUP BY CUBE (k1, ...)
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum as RSum
+
+    nk = len(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for mask in range((1 << nk) - 1, -1, -1):
+            lvl = [k for i, k in enumerate(keys) if (mask >> i) & 1]
+            if lvl:
+                t = batch.group_by(lvl).aggregate(
+                    [(value_col, "sum"), (lvl[0], "count")])
+                t = t.rename_columns([
+                    {f"{value_col}_sum": "s", f"{lvl[0]}_count": "n"}
+                    .get(c, c) for c in t.schema.names])
+            else:
+                t = pa.table({
+                    "n": pa.array([batch.num_rows], pa.int64()),
+                    "s": pa.array(
+                        [pc.sum(batch.column(value_col)).as_py() or 0],
+                        pa.int64()),
+                })
+            for i, rolled in enumerate(keys):
+                if not (mask >> i) & 1:
+                    t = t.append_column(
+                        rolled, pa.array([total_label] * t.num_rows))
+            outs.append(t.select(keys + ["n", "s"]))
+        return pa.concat_tables(outs)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).aggregate(
+        RSum("n", alias_name="n_docs"), RSum("s", alias_name=sum_alias))

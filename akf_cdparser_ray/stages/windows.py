@@ -421,3 +421,131 @@ def latest_per_group(ds, group: str, order_cols: list[str],
 
     return (ds.map_batches(partial, batch_format="pandas")
               .groupby(group).map_groups(final, batch_format="pandas"))
+
+
+def rolling_window_stats(ds, group: str = "user_id",
+                         order_cols: tuple = ("ts", "event_id"),
+                         value: str = "value_c", window: int = 3):
+    """Per-key ordered window functions — lag/lead/rolling-sum/row_number
+    over each ``group`` partition ordered by ``order_cols`` (last column
+    must be a unique id so the order is total). ONE shuffle: the
+    group-keyed exchange co-locates each partition, then the per-group
+    kernel is pure vectorized pandas (shift / rolling / arange) — the
+    idiomatic Ray Data shape for SQL window functions, which assume a
+    partition fits one worker (true for per-user event streams; a key
+    whose partition can't is a sessionize/salting problem, not a window
+    one). SQL mirror: ``lag/lead/sum OVER (PARTITION BY group ORDER BY
+    order_cols [ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW])``.
+
+    ``value`` should be an exact integer column (cents) so the rolling
+    sum is bit-exact vs the SQL oracle; lag/lead come back float64
+    (NaN at partition edges) exactly like a fetched nullable BIGINT."""
+    import numpy as np
+
+    out_cols = ["event_id", group, "lag_c", "lead_c", "roll_c", "rn"]
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        if group not in df.columns or not len(df):  # empty shuffle block
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                group: pd.Series(dtype="int64"),
+                "lag_c": pd.Series(dtype="float64"),
+                "lead_c": pd.Series(dtype="float64"),
+                "roll_c": pd.Series(dtype="int64"),
+                "rn": pd.Series(dtype="int64"),
+            })
+        df = df.sort_values(list(order_cols), kind="mergesort")
+        v = df[value].reset_index(drop=True)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            group: df[group].to_numpy(),
+            "lag_c": v.shift(1).to_numpy(),
+            "lead_c": v.shift(-1).to_numpy(),
+            "roll_c": v.rolling(window, min_periods=1).sum()
+                       .to_numpy().astype(np.int64),
+            "rn": np.arange(1, len(df) + 1, dtype=np.int64),
+        })
+
+    return ds.groupby(group).map_groups(per_group, batch_format="pandas")
+
+
+def semi_join_ids(left_ds, ids_ds, key: str = "doc_id",
+                  ids_key: str | None = None, num_shards: int = 16,
+                  bloom_bits_per_key: int = 12):
+    """Distributed EXACT semi-join (keep left rows whose ``key`` appears
+    in the id set) with a broadcast bloom prefilter — the classic
+    bloom-join: instead of shuffling the left side against the ids, every
+    probe task first tests its whole batch against ONE compact bit array
+    (built distributed: per-shard partial bloom pages OR-merged — OR is
+    commutative, so block layout can't change the filter), then verifies
+    only the bloom-positive rows against the sorted plasma id shards
+    (``build_id_shards``) via searchsorted. Zero false negatives by
+    construction; bloom false positives are removed by the exact verify.
+    At scale the bloom kills ~all non-matching rows for the cost of one
+    broadcast object (~1.5 bytes/id) instead of touching the 8-byte/id
+    shard arrays for every row. Layout-preserving like
+    :func:`anti_join_ids` (no shuffle or reorder of the left payload)."""
+    import numpy as np
+
+    from akf_cdparser_ray.state.filters import BloomFilter
+
+    ids_key = ids_key or key
+    shards = (ids_ds if isinstance(ids_ds, dict)
+              else build_id_shards(ids_ds, ids_key, num_shards))
+
+    def _mix64(x: "np.ndarray") -> "np.ndarray":
+        # splitmix64 finalizer, vectorized with uint64 wraparound
+        with np.errstate(over="ignore"):
+            x = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return x
+
+    n_ids_per_shard = ray.get([
+        _shard_len.remote(shards[s]) for s in range(num_shards)])
+    capacity = max(1, sum(n_ids_per_shard))
+
+    @ray.remote
+    def partial_bloom(arr) -> bytes:
+        f = BloomFilter(capacity=capacity, bits_per_entry=bloom_bits_per_key)
+        if len(arr):
+            f.add_many(_mix64(np.asarray(arr)))
+        return f.serialize()
+
+    pages = ray.get([partial_bloom.remote(shards[s])
+                     for s in range(num_shards)])
+    merged = BloomFilter.deserialize(pages[0])
+    for p in pages[1:]:
+        merged.bits |= BloomFilter.deserialize(p).bits
+    nbits = merged.nbits
+    bits_ref = ray.put(merged.bits)
+    del merged, pages
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        if key not in batch.columns or not len(batch):
+            return batch
+        ids = batch[key].to_numpy(dtype=np.int64)
+        f = BloomFilter.__new__(BloomFilter)
+        f.nbits, f.k, f.count = nbits, 7, 0
+        f.bits = ray.get(bits_ref)  # zero-copy plasma read, shared per node
+        keep = f.contains_many(_mix64(ids))          # bloom prefilter
+        for s in np.unique(ids[keep] % num_shards):  # exact verify survivors
+            arr = ray.get(shards[int(s)])
+            sel = np.flatnonzero(keep & (ids % num_shards == s))
+            if not len(arr):
+                keep[sel] = False
+                continue
+            pos = np.clip(np.searchsorted(arr, ids[sel]), 0, len(arr) - 1)
+            keep[sel[arr[pos] != ids[sel]]] = False
+        return batch[keep]
+
+    return left_ds.map_batches(probe, batch_format="pandas",
+                               batch_size=None)
+
+
+@ray.remote
+def _shard_len(arr) -> int:
+    return int(len(arr))

@@ -200,6 +200,20 @@ class BloomFilter:
         bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
         return ((self.bits[byte_idx] & bit) != 0).all(axis=1)
 
+    def add_many(self, hs: np.ndarray) -> None:
+        """Bulk insert (vectorized): set all k positions for every hash in
+        one ``bitwise_or.at`` scatter. Used by the bloom-join partial-page
+        build — pages merge by OR, so insertion order/batching is
+        irrelevant."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        if hs.size == 0:
+            return
+        pos = self._positions_many(hs)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64).ravel()
+        bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)).ravel()
+        np.bitwise_or.at(self.bits, byte_idx, bit)
+        self.count += int(hs.size)
+
     def check_and_add_many(self, hs: np.ndarray) -> np.ndarray:
         hs = np.asarray(hs, dtype=np.uint64)
         out = np.zeros(len(hs), dtype=bool)

@@ -907,3 +907,152 @@ def test_latest_per_group_matches_pandas_and_layout():
         outs.append(out)
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_counts_matches_pandas_all_margins():
+    """Single-pass CUBE equals the four explicitly-computed pandas
+    margins, identically across block layouts."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.relational import cube_counts
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "lang": rng.choice(["de", "en", "fr"], n),
+        "source": rng.choice(["web", "scan"], n),
+        "n_chars": rng.integers(1, 500, n).astype(np.int64),
+    })
+
+    def margin(keys):
+        if keys:
+            g = (df.groupby(keys, as_index=False)
+                 .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")))
+        else:
+            g = pd.DataFrame({"n_docs": [n], "sum_chars": [df["n_chars"].sum()]})
+        for k in ("lang", "source"):
+            if k not in keys:
+                g[k] = "(all)"
+        return g[["lang", "source", "n_docs", "sum_chars"]]
+
+    exp = (pd.concat([margin(["lang", "source"]), margin(["lang"]),
+                      margin(["source"]), margin([])])
+           .astype({"n_docs": "int64", "sum_chars": "int64"})
+           .sort_values(["lang", "source"]).reset_index(drop=True))
+    outs = []
+    for nblocks in (1, 6):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = (cube_counts(ds, ["lang", "source"], "n_chars",
+                           sum_alias="sum_chars")
+               .to_pandas()[["lang", "source", "n_docs", "sum_chars"]]
+               .sort_values(["lang", "source"]).reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_window_stats_matches_pandas():
+    """lag/lead/rolling-3-sum/row_number equal a per-group pandas
+    reference; block layout cannot change the result (the only shuffle is
+    the group-keyed exchange, the per-group kernel sorts on a total
+    order)."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.windows import rolling_window_stats
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": rng.permutation(n).astype(np.int64),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "ts": rng.integers(0, 40, n).astype(np.int64),  # many ties -> id breaks
+        "value_c": rng.integers(-100, 100, n).astype(np.int64),
+    })
+
+    def ref(g):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value_c"].reset_index(drop=True)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "lag_c": v.shift(1).to_numpy(),
+            "lead_c": v.shift(-1).to_numpy(),
+            "roll_c": v.rolling(3, min_periods=1).sum().to_numpy().astype(np.int64),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    exp = (pd.concat([ref(g) for _, g in df.groupby("user_id")])
+           .sort_values("event_id").reset_index(drop=True))
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = (rolling_window_stats(ds).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_join_ids_matches_isin_and_preserves_layout():
+    """Bloom-prefiltered exact semi-join: equals isin, keeps the left
+    side's block boundaries and row order, different right-side key name,
+    empty-id-set edge case."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.windows import semi_join_ids
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"doc_id": rng.permutation(600).astype(np.int64),
+                       "text": [f"t{i}" for i in range(600)]})
+    blocks = [df.iloc[i::4].reset_index(drop=True) for i in range(4)]
+    left = rd.from_pandas(blocks)
+    ids = pd.DataFrame({"rid": np.arange(0, 600, 5, dtype=np.int64)})
+    out = semi_join_ids(left, rd.from_pandas(ids), key="doc_id",
+                        ids_key="rid", num_shards=4)
+    got_blocks = [b for b in out.iter_batches(batch_size=None,
+                                              batch_format="pandas")
+                  if len(b.columns)]
+    assert len(got_blocks) == 4
+    keep = set(ids["rid"])
+    for src, got in zip(blocks, got_blocks):
+        exp = src[src["doc_id"].isin(keep)].reset_index(drop=True)
+        assert got.reset_index(drop=True).equals(exp)
+
+    empty = pd.DataFrame({"rid": pd.Series(dtype="int64")})
+    out2 = semi_join_ids(left, rd.from_pandas(empty), key="doc_id",
+                         ids_key="rid", num_shards=4)
+    assert out2.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_hash_left_join_matches_pandas():
+    """how='left': unmatched and null-key left rows survive with null
+    right columns; matched rows identical to the inner join; right-side
+    null keys never match (even against left nulls)."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.crossjoin import shuffle_hash_join
+
+    left = pd.DataFrame({
+        "k": pd.array([1, 2, 3, 4, None, 2], dtype="Int64"),
+        "lv": ["a", "b", "c", "d", "e", "f"],
+    })
+    right = pd.DataFrame({
+        "rk": pd.array([2, 2, 4, None, 9], dtype="Int64"),
+        "rv": [10, 11, 12, 13, 14],
+    })
+    exp = (left.merge(right[right["rk"].notna()], left_on="k",
+                      right_on="rk", how="left")[["k", "lv", "rv"]]
+           .sort_values(["lv", "rv"]).reset_index(drop=True)
+           .astype({"k": "float64", "rv": "float64"}))
+    out = (shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                             left_key="k", right_key="rk",
+                             left_cols=["k", "lv"], right_cols=["rv"],
+                             num_buckets=4, how="left")
+           .to_pandas()[["k", "lv", "rv"]]
+           .sort_values(["lv", "rv"]).reset_index(drop=True)
+           .astype({"k": "float64", "rv": "float64"}))
+    pd.testing.assert_frame_equal(out, exp)
