@@ -745,6 +745,39 @@ def q_left_join(sf_dir: str):
         how="left")
 
 
+def q_outer_join(sf_dir: str):
+    """FULL OUTER shuffle hash join: distinct event users × a custkey band
+    of customers — both directions of unmatched rows survive with the
+    other side null (stages/crossjoin.shuffle_hash_join how='outer';
+    per-bucket outer is globally correct because both sides co-partition
+    on the key). The distinct is distributed: per-batch dedup partials,
+    then the key-partitioned final dedup."""
+    import pyarrow.compute as pc
+
+    from akf_cdparser_ray.stages.crossjoin import shuffle_hash_join
+
+    users = (_read(sf_dir, "events", columns=["user_id"])
+             .map_batches(lambda b: b.drop_duplicates(),
+                          batch_format="pandas")
+             .groupby("user_id")
+             .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+    def band(b):
+        return b.filter(pc.and_(pc.greater_equal(b["c_custkey"], 100),
+                                pc.less_equal(b["c_custkey"], 200)))
+
+    cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+            .map_batches(band, batch_format="pyarrow"))
+    out = shuffle_hash_join(
+        users, cust, left_key="user_id", right_key="c_custkey",
+        left_cols=["user_id"], right_cols=["c_custkey", "c_mktsegment"],
+        num_buckets=16, how="outer")
+    # normalize the unmatched-side string NULL to '' (oracle coalesces the
+    # same way — pandas NaN and SQL NULL stringify differently in the hash)
+    return out.map_batches(lambda b: b.fillna({"c_mktsegment": ""}),
+                           batch_format="pandas")
+
+
 def q_pagerank(_sf_dir: str):
     """PageRank over the synthetic crawl's own link graph (the crawl
     engine's link-authority prioritization signal): fetch a fixed
@@ -1174,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_window": q_rolling_window,
         "bloom_semijoin": q_bloom_semijoin,
         "left_join": q_left_join,
+        "outer_join": q_outer_join,
         "posting_lists": q_posting_lists,
         "semdedup": q_semdedup,
         "pagerank": q_pagerank,
@@ -1429,6 +1463,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_custkey AS DOUBLE) AS c_custkey, c_mktsegment,
                    CAST(o_orderkey AS DOUBLE) AS o_orderkey
             FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        """,
+        "outer_join": """
+            SELECT CAST(u.user_id AS DOUBLE) AS user_id,
+                   CAST(c.c_custkey AS DOUBLE) AS c_custkey,
+                   coalesce(c_mktsegment, '') AS c_mktsegment
+            FROM (SELECT DISTINCT user_id FROM events) u
+            FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                             WHERE c_custkey BETWEEN 100 AND 200) c
+              ON c.c_custkey = u.user_id
         """,
         "posting_lists": """
             WITH toks AS (

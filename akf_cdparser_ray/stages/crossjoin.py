@@ -137,11 +137,16 @@ def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
     rows survive with the right columns null — same co-partition shape; the
     only changes are that left null keys are kept (they bucket normally but
     can never match, because right nulls ARE dropped — pandas merge would
-    otherwise match NaN to NaN) and each bucket joins ``how="left"``."""
+    otherwise match NaN to NaN) and each bucket joins ``how="left"``.
+    ``how="outer"`` (FULL OUTER) keeps null keys on BOTH sides; per bucket
+    the null-key rows are routed AROUND the merge (SQL: NULL matches
+    nothing; pandas outer merge would pair NaN with NaN) and appended
+    unmatched. Co-partitioning makes per-bucket outer globally correct:
+    a key's rows — both sides — live in exactly one bucket."""
     import pandas as pd
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how={how!r}: only inner/left supported")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how={how!r}: only inner/left/outer supported")
     if left_cols is None:
         left_cols = list(left_ds.schema().names)
     if right_cols is None:
@@ -156,7 +161,7 @@ def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
         return (pd.util.hash_array(vals) % num_buckets).astype("int64")
 
     def tag(side: int, key: str):
-        keep_nulls = how == "left" and side == 0
+        keep_nulls = how == "outer" or (how == "left" and side == 0)
 
         def f(batch: pd.DataFrame) -> pd.DataFrame:
             out = batch if keep_nulls else batch[batch[key].notna()]
@@ -174,6 +179,16 @@ def shuffle_hash_join(left_ds, right_ds, *, left_key: str, right_key: str,
             return pd.DataFrame()
         left = group[group["_side"] == 0].reindex(columns=left_cols + ["_jk"])
         right = group[group["_side"] == 1].reindex(columns=right_cols + ["_jk"])
+        if how == "outer":
+            if left.empty and right.empty:
+                return pd.DataFrame()
+            lnull, rnull = left[left["_jk"].isna()], right[right["_jk"].isna()]
+            out = left[left["_jk"].notna()].merge(
+                right[right["_jk"].notna()], on="_jk", how="outer")
+            if len(lnull) or len(rnull):
+                out = pd.concat([out, lnull, rnull], ignore_index=True)
+            return (out.reindex(columns=left_cols + right_cols + ["_jk"])
+                    .drop(columns=["_jk"]))
         if left.empty or (right.empty and how == "inner"):
             return pd.DataFrame()
         return left.merge(right, on="_jk", how=how).drop(columns=["_jk"])

@@ -1056,3 +1056,40 @@ def test_shuffle_hash_left_join_matches_pandas():
            .sort_values(["lv", "rv"]).reset_index(drop=True)
            .astype({"k": "float64", "rv": "float64"}))
     pd.testing.assert_frame_equal(out, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_hash_outer_join_matches_pandas():
+    """how='outer': unmatched rows of BOTH sides survive; null keys on
+    either side match nothing (pandas outer merge alone would pair NaN
+    with NaN — the bucket kernel routes nulls around the merge)."""
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.crossjoin import shuffle_hash_join
+
+    left = pd.DataFrame({
+        "k": pd.array([1, 2, 3, None], dtype="Int64"),
+        "lv": ["a", "b", "c", "d"],
+    })
+    right = pd.DataFrame({
+        "rk": pd.array([2, 2, 9, None], dtype="Int64"),
+        "rv": [10, 11, 12, 13],
+    })
+    # pandas reference with SQL null semantics: outer-merge non-null keys,
+    # append null-key rows of both sides unmatched
+    lm = left[left["k"].notna()].merge(
+        right[right["rk"].notna()], left_on="k", right_on="rk", how="outer")
+    exp = (pd.concat([lm, left[left["k"].isna()], right[right["rk"].isna()]],
+                     ignore_index=True)[["k", "lv", "rk", "rv"]]
+           .astype({"k": "float64", "rk": "float64", "rv": "float64"})
+           .sort_values(["k", "lv", "rk", "rv"], na_position="last")
+           .reset_index(drop=True))
+    got = (shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                             left_key="k", right_key="rk",
+                             left_cols=["k", "lv"], right_cols=["rk", "rv"],
+                             num_buckets=4, how="outer")
+           .to_pandas()[["k", "lv", "rk", "rv"]]
+           .astype({"k": "float64", "rk": "float64", "rv": "float64"})
+           .sort_values(["k", "lv", "rk", "rv"], na_position="last")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
