@@ -1162,6 +1162,76 @@ def q_approx_quantiles(sf_dir: str):
     return grouped_approx_quantiles(ds, "event_type", "value", [0.5, 0.95])
 
 
+def q_corr_qty_price(sf_dir: str):
+    """Exact per-flag Pearson correlation of quantity vs price from
+    integer-cent second-moment sums (stages/stats.grouped_corr): six
+    exact sums per key cross the wire, the float is computed once from
+    the same expression tree the HUGEINT SQL mirror uses."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from akf_cdparser_ray.stages.stats import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    rmode = {"round_mode": "half_towards_infinity"}
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "x": pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100.0),
+                                  0, **rmode), pa.int64()),
+            "y": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                              100.0), 0, **rmode),
+                         pa.int64()),
+        })
+
+    return grouped_corr(ds.map_batches(cents, batch_format="pyarrow"),
+                        "l_returnflag", "x", "y", alias="corr_qp")
+
+
+def q_mode_value(sf_dir: str):
+    """Modal cent-remainder per event type (holistic aggregate via the
+    partial-then-final shape: per-batch (key,value) counts shuffle, the
+    per-key merge picks count-DESC/value-ASC — stages/stats.mode_per_group)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from akf_cdparser_ray.stages.stats import mode_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    rmode = {"round_mode": "half_towards_infinity"}
+
+    def discretize(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100.0),
+                                 0, **rmode), pa.int64())
+        return pa.table({"event_type": batch["event_type"],
+                         "value_r": pc.bit_wise_and(cents, 127)})
+
+    return mode_per_group(ds.map_batches(discretize, batch_format="pyarrow"),
+                          "event_type", "value_r")
+
+
+def q_names_agg(sf_dir: str):
+    """Ordered string_agg of customer names per nation — one keyed
+    shuffle then a local sort+join per group (stages/stats.string_agg_sorted)."""
+    from akf_cdparser_ray.stages.stats import string_agg_sorted
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_name"])
+    return string_agg_sorted(ds, "c_nationkey", "c_name", sep="|",
+                             alias="names", count_alias="n")
+
+
+def q_global_ntile(sf_dir: str):
+    """NTILE(7) eval-fold assignment over the deterministic global hash
+    order — the epoch_shuffle rank join plus one arithmetic map; SQL
+    NTILE's exact uneven-fill rule (stages/sampling.global_ntile)."""
+    from akf_cdparser_ray.stages.sampling import global_ntile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return global_ntile(ds, key="doc_id", k=7, epoch=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1227,6 +1297,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "curate": q_curate,
         "hash_sample": q_hash_sample,
+        "corr_qty_price": q_corr_qty_price,
+        "mode_value": q_mode_value,
+        "names_agg": q_names_agg,
+        "global_ntile": q_global_ntile,
     }
 
 
@@ -1654,5 +1728,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_mktsegment, o.o_orderstatus, count(*) AS n
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "corr_qty_price": """
+            WITH c AS (
+                SELECT l_returnflag,
+                       CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                            AS HUGEINT) AS x,
+                       CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS HUGEINT) AS y
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                       sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                       sum(x*x) AS sxx, sum(y*y) AS syy
+                FROM c GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qp
+            FROM s
+        """,
+        "mode_value": """
+            SELECT event_type, mode_value, mode_count FROM (
+                SELECT event_type, value_r AS mode_value,
+                       count(*) AS mode_count,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY count(*) DESC, value_r ASC) AS rn
+                FROM (SELECT event_type,
+                             CAST(round(value * 100) AS BIGINT) & 127
+                                 AS value_r
+                      FROM events)
+                GROUP BY event_type, value_r
+            ) WHERE rn = 1
+        """,
+        "names_agg": """
+            SELECT c_nationkey,
+                   string_agg(c_name, '|' ORDER BY c_name) AS names,
+                   count(*) AS n
+            FROM customer GROUP BY c_nationkey
+        """,
+        "global_ntile": """
+            SELECT doc_id,
+                   ntile(7) OVER (
+                       ORDER BY md5_number_lower(
+                           CAST(doc_id AS VARCHAR) || '|ep2') ASC,
+                                doc_id ASC) AS bucket
+            FROM documents
         """,
     }

@@ -324,3 +324,40 @@ def epoch_shuffle(ds, key: str = "doc_id", epoch: int = 0,
 
     return keyed_ds.map_batches(rank, batch_format="pandas",
                                 batch_size=None)
+
+
+def global_ntile(ds, key: str = "doc_id", k: int = 4, epoch: int = 0,
+                 num_shards: int = 16, hash_mode: str = "md5",
+                 total: int | None = None):
+    """NTILE(k) over the deterministic global hash order — equal-depth
+    bucket assignment for train-shard / eval-fold construction, with SQL
+    NTILE's exact fill rule (the first ``n % k`` buckets take one extra
+    row). Composes :func:`epoch_shuffle`'s range-sharded rank join, so
+    there is no distributed sort and no driver materialization; the only
+    extra cost over the rank itself is one vectorized arithmetic map.
+
+    ``total`` lets the caller pass a known row count; otherwise it comes
+    from ``ds.count()`` BEFORE the rank pass (metadata-only on a plain
+    parquet read — on a transformed input, pass ``total`` to avoid a
+    second execution).
+
+    SQL mirror (hash-exact): ``ntile(k) OVER (ORDER BY
+    md5_number_lower(CAST(key AS VARCHAR) || '|ep<epoch>') ASC, key
+    ASC)``. Returns a Dataset of (key, bucket), bucket in 1..k."""
+    n = int(total) if total is not None else int(ds.count())
+    pos_ds = epoch_shuffle(ds, key=key, epoch=epoch,
+                           num_shards=num_shards, hash_mode=hash_mode)
+    q, r = divmod(n, k)
+    cut = r * (q + 1)
+    qd = max(q, 1)  # q==0 (n<k): every pos < cut, the else arm is dead
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if "pos" not in batch.columns or not len(batch):
+            return pd.DataFrame({key: pd.Series(dtype="int64"),
+                                 "bucket": pd.Series(dtype="int64")})
+        p = batch["pos"].to_numpy(np.int64)
+        b = np.where(p < cut, p // (q + 1) + 1, r + (p - cut) // qd + 1)
+        return pd.DataFrame({key: batch[key].to_numpy(),
+                             "bucket": b.astype(np.int64)})
+
+    return pos_ds.map_batches(bucketize, batch_format="pandas")
