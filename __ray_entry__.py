@@ -1232,6 +1232,18 @@ def q_global_ntile(sf_dir: str):
     return global_ntile(ds, key="doc_id", k=7, epoch=2)
 
 
+def q_editdist_pairs(sf_dir: str):
+    """Exact edit-distance similarity self-join on 32-char doc prefixes
+    (PassJoin pigeonhole blocking -> one keyed shuffle -> vectorized
+    byte-DP verify -> pair dedup; stages/editdist.edit_distance_pairs).
+    Byte-level distance matches DuckDB's levenshtein exactly."""
+    from akf_cdparser_ray.stages.editdist import edit_distance_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return edit_distance_pairs(ds, key="doc_id", text_col="text",
+                               prefix_len=32, tau=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1301,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_value": q_mode_value,
         "names_agg": q_names_agg,
         "global_ntile": q_global_ntile,
+        "editdist_pairs": q_editdist_pairs,
     }
 
 
@@ -1776,5 +1789,13 @@ def oracle_sql() -> dict[str, str]:
                            CAST(doc_id AS VARCHAR) || '|ep2') ASC,
                                 doc_id ASC) AS bucket
             FROM documents
+        """,
+        "editdist_pairs": """
+            WITH p AS (SELECT doc_id, substr(text, 1, 32) AS pf
+                       FROM documents)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.pf, b.pf) AS BIGINT) AS dist
+            FROM p a JOIN p b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.pf, b.pf) <= 2
         """,
     }

@@ -27,9 +27,25 @@ class _EmptyBlockSchemaFilter(logging.Filter):
         return not any(m in msg for m in _EMPTY_SCHEMA_MARKERS)
 
 
+class _EmptyColumnSizeFilter(logging.Filter):
+    """Ray's pandas block sizing np.vectorize()s over string columns and
+    warns on every SIZE-0 one ("cannot call `vectorize` on size 0 inputs")
+    — i.e. on every typed empty frame this repo's shuffle-consumer guards
+    deliberately emit. Drop only that class; a real sizing failure on a
+    non-empty column still logs."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        msg = record.getMessage()
+        return not ("Error calculating size for column" in msg
+                    and "size 0 inputs" in msg)
+
+
 def silence_empty_block_schema_warnings() -> None:
-    """Install the filter once on the streaming-executor logger (idempotent)."""
+    """Install the filters once on the Ray Data loggers (idempotent)."""
     logger = logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state")
     if not any(isinstance(f, _EmptyBlockSchemaFilter) for f in logger.filters):
         logger.addFilter(_EmptyBlockSchemaFilter())
+    blk = logging.getLogger("ray.data._internal.pandas_block")
+    if not any(isinstance(f, _EmptyColumnSizeFilter) for f in blk.filters):
+        blk.addFilter(_EmptyColumnSizeFilter())
