@@ -1244,6 +1244,18 @@ def q_editdist_pairs(sf_dir: str):
                                prefix_len=32, tau=2)
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality score: per-doc bigram perplexity under a
+    corpus-fit count model (stages/lm.py — distributed exact counts,
+    deterministic truncation, model broadcast once, scoring pass-local).
+    Rows-only: no SQL engine shares the model; the golden pins it and
+    tests/test_lm.py checks the math against a local reference."""
+    from akf_cdparser_ray.stages.lm import lm_perplexity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_perplexity(ds, vocab_k=256, bigram_k=4096)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1314,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "names_agg": q_names_agg,
         "global_ntile": q_global_ntile,
         "editdist_pairs": q_editdist_pairs,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 

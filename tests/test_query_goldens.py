@@ -43,6 +43,9 @@ GOLDENS = {
     # bit-deterministic by construction (fixed-order hop-2 sums), no
     # partitioning pin needed; 1,500-page synth link graph, 10 iters
     "pagerank": "c7b57fbc767cc9032175ff52fe5b5211edf3c6711fc4b9d1e7fbc01bb2f76993",
+    # bit-deterministic: exact-integer model + fixed-order stream sums
+    # (fit+score layout independence pinned in tests/test_lm.py)
+    "lm_perplexity": "af4623d4335d886ccb9aab9890da290be019c8e6b356222e9db0b58823456f04",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
