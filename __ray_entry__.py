@@ -1244,6 +1244,66 @@ def q_editdist_pairs(sf_dir: str):
                                prefix_len=32, tau=2)
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) event-time windows: 1h windows every 15min —
+    each event expands to 4 hop-aligned window starts INSIDE the
+    per-batch combiner, then one keyed partial sum
+    (stages/windows.hopping_window_counts). Integer-epoch window starts
+    keep the SQL mirror trivially exact."""
+    from akf_cdparser_ray.stages.windows import hopping_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return hopping_window_counts(ds, size_s=3600, hop_s=900)
+
+
+def q_revenue_by_region(sf_dir: str):
+    """Composed 4-table pipeline: orders ⋈ customer (big-x-big shuffle
+    join) ⋈ (nation ⋈ region, tiny — merged driver-side and broadcast
+    into customer) → revenue per region. The join order IS the scale
+    design: the only all-to-all moves (custkey, cents) pairs; dimension
+    tables ship once via ray.put."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from akf_cdparser_ray.stages.crossjoin import (
+        broadcast_hash_join, shuffle_hash_join)
+    from akf_cdparser_ray.stages.relational import partial_groupby_sum
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    nr = nation.merge(region, left_on="n_regionkey",
+                      right_on="r_regionkey")[["n_nationkey", "r_name"]]
+    nr = nr.rename(columns={"n_nationkey": "c_nationkey"})
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_r = broadcast_hash_join(cust, nr, key="c_nationkey")
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        rmode = {"round_mode": "half_towards_infinity"}
+        rev_c = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0),
+                                 0, **rmode), pa.int64())
+        return pa.table({"o_custkey": batch["o_custkey"], "rev_c": rev_c})
+
+    joined = shuffle_hash_join(
+        orders.map_batches(cents, batch_format="pyarrow"), cust_r,
+        left_key="o_custkey", right_key="c_custkey",
+        left_cols=["o_custkey", "rev_c"],
+        right_cols=["c_custkey", "c_nationkey", "r_name"],
+    )
+    out = partial_groupby_sum(
+        joined.map_batches(
+            lambda b: b.reindex(columns=["r_name", "rev_c"]),
+            batch_format="pandas"),
+        ["r_name"], ["rev_c"], count_alias="n_orders",
+    )
+    df = out.to_pandas()
+    df["revenue"] = df.pop("rev_c") / 100.0
+    return df[["r_name", "revenue", "n_orders"]]
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality score: per-doc bigram perplexity under a
     corpus-fit count model (stages/lm.py — distributed exact counts,
@@ -1327,6 +1387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_ntile": q_global_ntile,
         "editdist_pairs": q_editdist_pairs,
         "lm_perplexity": q_lm_perplexity,
+        "hopping_window": q_hopping_window,
+        "revenue_by_region": q_revenue_by_region,
     }
 
 
@@ -1810,5 +1872,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.pf, b.pf) AS BIGINT) AS dist
             FROM p a JOIN p b ON a.doc_id < b.doc_id
             WHERE levenshtein(a.pf, b.pf) <= 2
+        """,
+        "hopping_window": """
+            WITH ev AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 900
+                                   AS kb
+                        FROM events),
+                 js AS (SELECT unnest(range(4)) AS j)
+            SELECT (kb - j) * 900 AS ws_epoch, event_type,
+                   count(*) AS n
+            FROM ev, js GROUP BY 1, 2
+        """,
+        "revenue_by_region": """
+            SELECT r_name,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
     }

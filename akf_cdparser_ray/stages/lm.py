@@ -85,8 +85,8 @@ def fit_bigram_lm(ds, text_col: str = "text", vocab_k: int = 512,
         keys = sorted(bi)
         ctx_keys = sorted(ctx)
         return pd.DataFrame({
-            "gk": pd.Series([f"b\x01{a}\x00{b}" for a, b in keys]
-                            + [f"c\x01{t}" for t in ctx_keys],
+            "gk": pd.Series([f"b\x1e{a}\x1f{b}" for a, b in keys]
+                            + [f"c\x1e{t}" for t in ctx_keys],
                             dtype="object"),
             "n": pd.Series([bi[k] for k in keys]
                            + [ctx[t] for t in ctx_keys], dtype="int64")})
@@ -106,20 +106,20 @@ def fit_bigram_lm(ds, text_col: str = "text", vocab_k: int = 512,
             .groupby("gk").aggregate(Sum("n", alias_name="n"))
             .materialize())
     # contexts: at most V+2 rows — filter distributedly, pull the slice
-    ctx_rows = (bagg.map_batches(keep_kind("c\x01"),
+    ctx_rows = (bagg.map_batches(keep_kind("c\x1e"),
                                  batch_format="pandas").to_pandas())
-    contexts = {g.split("\x01", 1)[1]: int(n)
+    contexts = {g.split("\x1e", 1)[1]: int(n)
                 for g, n in zip(ctx_rows["gk"], ctx_rows["n"])}
     # bigrams: keep top-B by (count DESC, gram ASC) — distributed
     # sort+limit, same rule as vocabulary()
-    bi_rows = (bagg.map_batches(keep_kind("b\x01"), batch_format="pandas")
+    bi_rows = (bagg.map_batches(keep_kind("b\x1e"), batch_format="pandas")
                .sort(["n", "gk"], descending=[True, False])
                .limit(bigram_k).to_pandas())
     bi_rows = bi_rows.sort_values(["n", "gk"], ascending=[False, True],
                                   kind="mergesort").head(bigram_k)
     bigrams = {}
     for g, n in zip(bi_rows["gk"], bi_rows["n"]):
-        a, b = g.split("\x01", 1)[1].split("\x00", 1)
+        a, b = g.split("\x1e", 1)[1].split("\x1f", 1)
         bigrams[(a, b)] = int(n)
     return {"vocab": vocab, "unk_count": unk_count, "bigrams": bigrams,
             "contexts": contexts, "v": len(vocab) + 2}

@@ -549,3 +549,71 @@ def semi_join_ids(left_ds, ids_ds, key: str = "doc_id",
 @ray.remote
 def _shard_len(arr) -> int:
     return int(len(arr))
+
+
+def hopping_window_counts(events_ds, *, size_s: int = 3600,
+                          hop_s: int = 900, key: str = "event_type"):
+    """Hopping (sliding) window aggregate: every event belongs to
+    ``size_s/hop_s`` overlapping windows; emit per (window_start, key)
+    event counts. The streaming-window shape Ray Data lacks natively,
+    expressed as the vectorized flat-map expansion (each row repeats
+    k=size/hop times with hop-aligned starts) + the standard
+    partial-then-final keyed sum — the expansion happens INSIDE the
+    per-batch combiner, so the shuffle moves per-(window,key) partials,
+    never k copies of the rows. SQL mirror (exact, integer epochs):
+    cross join unnest(range(k)) with ws = (floor(epoch/hop) - j) * hop.
+
+    Returns a Dataset of (ws_epoch BIGINT, key, n)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    k = size_s // hop_s
+    assert size_s % hop_s == 0, "window size must be a hop multiple"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if "ts" not in batch.columns or not len(batch):
+            return pd.DataFrame({
+                "ws_epoch": pd.Series(dtype="int64"),
+                key: pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64")})
+        # normalize to ns first: parquet timestamp[us] arrives as
+        # datetime64[us] but in-memory frames are [ns] — astype(int64)
+        # alone would yield unit-dependent epochs
+        ep = (batch["ts"].astype("datetime64[ns]").astype("int64")
+              .to_numpy() // 1_000_000_000)
+        kb = np.floor_divide(ep, hop_s)
+        ws = ((np.repeat(kb, k) - np.tile(np.arange(k), len(kb)))
+              * hop_s).astype(np.int64)
+        kv = np.repeat(batch[key].to_numpy(), k)
+        out = (pd.DataFrame({"ws_epoch": ws, key: kv})
+               .groupby(["ws_epoch", key], as_index=False, sort=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = events_ds.map_batches(partial, batch_format="pandas")
+
+    def rekey(batch: pd.DataFrame) -> pd.DataFrame:
+        if "ws_epoch" not in batch.columns or not len(batch):
+            return pd.DataFrame({"wk": pd.Series(dtype="object"),
+                                 "ws_epoch": pd.Series(dtype="int64"),
+                                 key: pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return batch.assign(
+            wk=batch["ws_epoch"].astype(str) + "\x1f" + batch[key])
+
+    def unkey(batch: pd.DataFrame) -> pd.DataFrame:
+        if "wk" not in batch.columns or not len(batch):
+            return pd.DataFrame({"ws_epoch": pd.Series(dtype="int64"),
+                                 key: pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        parts_ = batch["wk"].str.split("\x1f", n=1, expand=True)
+        return pd.DataFrame({
+            "ws_epoch": parts_[0].astype("int64"),
+            key: parts_[1],
+            "n": batch["n"].astype("int64")})
+
+    return (parts.map_batches(rekey, batch_format="pandas")
+            .groupby("wk").aggregate(Sum("n", alias_name="n"))
+            .map_batches(unkey, batch_format="pandas"))
