@@ -1304,6 +1304,29 @@ def q_revenue_by_region(sf_dir: str):
     return df[["r_name", "revenue", "n_orders"]]
 
 
+def q_exact_quantiles(sf_dir: str):
+    """Global EXACT order statistics without any worker holding the
+    column: multi-round distributed histogram selection — (bucket,count)
+    partials, driver walks the cumulative histogram, collects only the
+    target bucket (stages/selection.global_exact_quantiles). The exact
+    complement of the t-digest sketch query."""
+    from akf_cdparser_ray.stages.selection import global_exact_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return global_exact_quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
+
+
+def q_exact_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type: per-batch pair dedup,
+    one pair-keyed shuffle, per-key nunique
+    (stages/relational.grouped_count_distinct; HLL is the sketch twin)."""
+    from akf_cdparser_ray.stages.relational import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, "event_type", "user_id",
+                                  alias="n_users")
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality score: per-doc bigram perplexity under a
     corpus-fit count model (stages/lm.py — distributed exact counts,
@@ -1389,6 +1412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": q_lm_perplexity,
         "hopping_window": q_hopping_window,
         "revenue_by_region": q_revenue_by_region,
+        "exact_quantiles": q_exact_quantiles,
+        "exact_distinct": q_exact_distinct,
     }
 
 
@@ -1893,5 +1918,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "exact_quantiles": """
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   quantile_disc(value, 0.5) AS value,
+                   count(value) AS n FROM events
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9),
+                   count(value) FROM events
+            UNION ALL
+            SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99),
+                   count(value) FROM events
+        """,
+        "exact_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
     }

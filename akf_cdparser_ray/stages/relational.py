@@ -143,3 +143,31 @@ def cube_counts(ds, keys: list[str], value_col: str,
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(keys).aggregate(
         RSum("n", alias_name="n_docs"), RSum("s", alias_name=sum_alias))
+
+
+def grouped_count_distinct(ds, key: str, value: str,
+                           alias: str = "n_distinct"):
+    """Exact COUNT(DISTINCT value) per key at scale: per-batch
+    ``drop_duplicates`` shrinks each batch to its distinct (key, value)
+    pairs, ONE pair-keyed shuffle dedups globally (groupby emits one row
+    per pair), and a second tiny per-key count runs inside the same
+    map_groups — so the all-to-all moves distinct pairs, never rows, and
+    nothing holistic sits on the driver. (The HLL sketch in
+    stages/sketches is the approximate one-pass alternative.)"""
+    import pandas as pd
+
+    def partial(batch: "pd.DataFrame") -> "pd.DataFrame":
+        if key not in batch.columns or not len(batch):
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 value: pd.Series(dtype="object")})
+        return batch[[key, value]].drop_duplicates()
+
+    def count_in_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        if key not in g.columns or not len(g):
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 alias: pd.Series(dtype="int64")})
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             alias: [int(g[value].nunique())]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(key).map_groups(count_in_group, batch_format="pandas"))

@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     "anti_join", "host_counts", "ann_topk", "ivf_topk", "simhash",
     "vocabulary", "approx_distinct", "approx_quantiles",
     "contamination", "epoch_shuffle", "substring_dedup",
-    "rolling_window", "bloom_semijoin",
+    "rolling_window", "bloom_semijoin", "editdist_pairs",
+    "hopping_window", "revenue_by_region", "lm_perplexity",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Distributed exact-quantile selection (stages/selection.py) and exact
+grouped count-distinct (stages/relational.grouped_count_distinct)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from akf_cdparser_ray.stages.relational import grouped_count_distinct
+from akf_cdparser_ray.stages.selection import global_exact_quantiles
+
+
+def _chunks(df, n):
+    return [df.iloc[i::n].reset_index(drop=True) for i in range(n)]
+
+
+def _disc(vals, q):
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    return float(v[int(np.floor(q * (len(v) - 1)))])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantiles_exact_and_layout_independent():
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    vals = np.concatenate([rng.normal(0, 1, 4000),
+                           rng.normal(50, 5, 1000),
+                           np.full(500, 7.25)])  # heavy duplicate spike
+    df = pd.DataFrame({"value": vals})
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    outs = []
+    for n in (1, 6):
+        out = global_exact_quantiles(
+            rd.from_pandas(_chunks(df, n)), "value", qs=qs,
+            num_buckets=64)
+        outs.append(out)
+        for q, v in zip(out["q"], out["value"]):
+            assert v == _disc(vals, q)
+        assert (out["n"] == len(vals)).all()
+    assert outs[0].equals(outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantiles_forced_recursion_and_all_equal():
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0, 1, 3000)
+    ds = rd.from_pandas(_chunks(pd.DataFrame({"value": vals}), 3))
+    # collect_cap far below bucket populations -> must recurse, stay exact
+    out = global_exact_quantiles(ds, "value", qs=(0.5,),
+                                 num_buckets=4, collect_cap=20)
+    assert out["value"].iloc[0] == _disc(vals, 0.5)
+    # an all-equal column cannot split buckets: lo==hi short-circuit
+    same = rd.from_pandas([pd.DataFrame({"value": np.full(100, 3.5)})])
+    out2 = global_exact_quantiles(same, "value", qs=(0.5, 0.99),
+                                  num_buckets=4, collect_cap=10)
+    assert out2["value"].tolist() == [3.5, 3.5]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantiles_nulls_and_empty():
+    import ray.data as rd
+
+    df = pd.DataFrame({"value": [1.0, None, 3.0, None, 2.0]})
+    out = global_exact_quantiles(rd.from_pandas([df]), "value", qs=(0.5,))
+    assert out["value"].iloc[0] == 2.0 and out["n"].iloc[0] == 3
+    empty = rd.from_pandas([pd.DataFrame({"value": pd.Series(
+        [None], dtype="float64")})])
+    assert len(global_exact_quantiles(empty, "value")) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_count_distinct():
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], 500),
+                       "v": rng.integers(0, 40, 500)})
+    out = (grouped_count_distinct(rd.from_pandas(_chunks(df, 5)),
+                                  "k", "v", alias="nd")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    expect = df.groupby("k")["v"].nunique()
+    assert out["nd"].tolist() == [int(expect["x"]), int(expect["y"])]
