@@ -1304,6 +1304,47 @@ def q_revenue_by_region(sf_dir: str):
     return df[["r_name", "revenue", "n_orders"]]
 
 
+def q_salted_join(sf_dir: str):
+    """Skew-proof join: a planted hot key (every user_id % 3 == 0 event
+    remaps to key 42 — a third of the fact table) would serialize one
+    bucket of the plain shuffle join; salted_shuffle_join spreads it over
+    8 deterministic sub-buckets and replicates only the hot dimension
+    rows (stages/crossjoin.salted_shuffle_join). Output equals the plain
+    join, which is what the oracle checks."""
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.crossjoin import salted_shuffle_join
+    from akf_cdparser_ray.stages.relational import partial_groupby_sum
+
+    events = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def derive_pd(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        uid = batch["user_id"].to_numpy()
+        jk = np.where(uid % 3 == 0, 42, uid).astype("int64")
+        x = batch["value"].to_numpy() * 100.0
+        # round half away from zero == DuckDB round() == the repo's
+        # half_towards_infinity cents rule
+        v_c = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+        return pd.DataFrame({"jk": jk, "v_c": v_c})
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = salted_shuffle_join(
+        events.map_batches(derive_pd, batch_format="pandas"), cust,
+        left_key="jk", right_key="c_custkey", hot_keys=[42], salt=8,
+        left_cols=["jk", "v_c"],
+        right_cols=["c_custkey", "c_mktsegment"])
+    out = partial_groupby_sum(
+        joined.map_batches(
+            lambda b: b.reindex(columns=["c_mktsegment", "v_c"]),
+            batch_format="pandas"),
+        ["c_mktsegment"], ["v_c"], count_alias="n")
+    df = out.to_pandas()
+    df["total_value"] = df.pop("v_c") / 100.0
+    return df[["c_mktsegment", "total_value", "n"]]
+
+
 def q_exact_quantiles(sf_dir: str):
     """Global EXACT order statistics without any worker holding the
     column: multi-round distributed histogram selection — (bucket,count)
@@ -1414,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": q_revenue_by_region,
         "exact_quantiles": q_exact_quantiles,
         "exact_distinct": q_exact_distinct,
+        "salted_join": q_salted_join,
     }
 
 
@@ -1933,5 +1975,16 @@ def oracle_sql() -> dict[str, str]:
         "exact_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "salted_join": """
+            SELECT c_mktsegment,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                       AS total_value,
+                   count(*) AS n
+            FROM (SELECT CASE WHEN user_id % 3 = 0 THEN 42
+                              ELSE user_id END AS jk, value
+                  FROM events) e
+            JOIN customer ON e.jk = c_custkey
+            GROUP BY c_mktsegment
         """,
     }

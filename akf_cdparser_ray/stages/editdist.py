@@ -88,7 +88,8 @@ def lev_batch(pa_bytes: list[bytes], pb_bytes: list[bytes]) -> np.ndarray:
 
 def edit_distance_pairs(ds, key: str = "doc_id", text_col: str = "text",
                         prefix_len: int = 32, tau: int = 2,
-                        bucket_cap: int = 10_000) -> pd.DataFrame:
+                        bucket_cap: int = 10_000,
+                        num_shards: int = 64) -> pd.DataFrame:
     """All (a, b, dist) with a < b and byte-Levenshtein(prefix_a,
     prefix_b) <= tau, where prefix = first ``prefix_len`` CHARACTERS of
     ``text_col`` encoded UTF-8 (character slice + byte distance is
@@ -108,9 +109,12 @@ def edit_distance_pairs(ds, key: str = "doc_id", text_col: str = "text",
                 p = str(txt)[:prefix_len].encode("utf-8")
                 L = len(p)
                 ph = p.hex()
-                if L <= 2 * tau:  # too short to segment-block soundly
-                    bks.append("short"); ids.append(kid)
-                    ps.append(ph); roles.append("i")
+                if L <= 2 * tau:  # too short to segment-block soundly:
+                    # one bucket, both roles (all-pairs there, verified)
+                    bks.extend(["short", "short"])
+                    ids.extend([kid, kid])
+                    ps.extend([ph, ph])
+                    roles.extend(["i", "p"])
                 if L >= tau + 1:  # index own segments
                     for i, (st, ln) in enumerate(_seg_bounds(L, tau)):
                         bks.append(f"{L}:{i}:{p[st:st + ln].hex()}")
@@ -125,14 +129,21 @@ def edit_distance_pairs(ds, key: str = "doc_id", text_col: str = "text",
                                     f"{l}:{i}:{p[s0:s0 + ln].hex()}")
                                 ids.append(kid); ps.append(ph)
                                 roles.append("p")
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "bk": pd.Series(bks, dtype="object"),
             key: pd.Series(ids, dtype="int64"),
             "p": pd.Series(ps, dtype="object"),
             "role": pd.Series(roles, dtype="object")})
+        # bucket keys are near-unique, and Ray's groupby walks groups in
+        # PYTHON — route buckets to a bounded shard count instead and do
+        # the per-bucket work with ONE vectorized merge per shard (the
+        # substring_dedup lesson; measured 57s -> 2s there)
+        out["shard"] = (pd.util.hash_array(
+            out["bk"].to_numpy(dtype=object)) % num_shards).astype("int64")
+        return out
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # most buckets yield no pairs: quiet the per-worker empty-column
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # most shards yield few pairs: quiet the per-worker empty-column
         # sizing warning (idempotent; workers don't run session entry points)
         silence_empty_block_schema_warnings()
         empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
@@ -141,29 +152,31 @@ def edit_distance_pairs(ds, key: str = "doc_id", text_col: str = "text",
                               "pb": pd.Series(dtype="object")})
         if "bk" not in g.columns or not len(g):
             return empty
-        if len(g) > bucket_cap:
+        sizes = g["bk"].value_counts()
+        if int(sizes.iloc[0]) > bucket_cap:
             raise RuntimeError(
-                f"editdist bucket {g['bk'].iloc[0]!r} holds {len(g)} "
-                f"entries (> cap {bucket_cap}): a degenerate shared "
-                "segment — raise bucket_cap or lengthen the prefix")
-        short = g["bk"].iloc[0] == "short"
-        idx = g[g["role"] == "i"]
-        prb = g if short else g[g["role"] == "p"]
+                f"editdist bucket {sizes.index[0]!r} holds "
+                f"{int(sizes.iloc[0])} entries (> cap {bucket_cap}): a "
+                "degenerate shared segment — raise bucket_cap or "
+                "lengthen the prefix")
+        idx = g[g["role"] == "i"][["bk", key, "p"]]
+        prb = g[g["role"] == "p"][["bk", key, "p"]]
         if not len(idx) or not len(prb):
             return empty
-        ii, pp = np.meshgrid(np.arange(len(idx)), np.arange(len(prb)),
-                             indexing="ij")
-        ii, pp = ii.ravel(), pp.ravel()
-        ida = idx[key].to_numpy()[ii]
-        idb = prb[key].to_numpy()[pp]
-        la = idx["p"].str.len().to_numpy()[ii]  # hex len = 2x byte len
-        lb = prb["p"].str.len().to_numpy()[pp]
+        # ALL buckets of the shard in one C-speed hash join
+        m = idx.merge(prb, on="bk", suffixes=("_a", "_b"))
+        if not len(m):
+            return empty
+        ida = m[f"{key}_a"].to_numpy()
+        idb = m[f"{key}_b"].to_numpy()
+        la = m["p_a"].str.len().to_numpy()  # hex len = 2x byte len
+        lb = m["p_b"].str.len().to_numpy()
         # indexed side must be the shorter (pigeonhole direction);
         # normalize output order a<b, drop self-pairs and dup directions
         keep = ((la < lb) | ((la == lb) & (ida != idb)))
         ida, idb = ida[keep], idb[keep]
-        pa = idx["p"].to_numpy()[ii][keep]
-        pb = prb["p"].to_numpy()[pp][keep]
+        pa = m["p_a"].to_numpy()[keep]
+        pb = m["p_b"].to_numpy()[keep]
         swap = ida > idb
         a = np.where(swap, idb, ida)
         b = np.where(swap, ida, idb)
@@ -192,18 +205,33 @@ def edit_distance_pairs(ds, key: str = "doc_id", text_col: str = "text",
                      + kept["b"].astype(str)).to_numpy(),
             "dist": d[ok]})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
+    def pair_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        silence_empty_block_schema_warnings()
+        if "pair" not in batch.columns or not len(batch):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64"),
+                                 "ps": pd.Series(dtype="int64")})
+        return batch.assign(ps=(pd.util.hash_array(
+            batch["pair"].to_numpy(dtype=object)) % num_shards)
+            .astype("int64"))[["a", "b", "dist", "ps"]]
+
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
         silence_empty_block_schema_warnings()
         if "a" not in g.columns or not len(g):
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),
                                  "dist": pd.Series(dtype="int64")})
-        return g.iloc[:1][["a", "b", "dist"]]
+        return g.drop_duplicates(["a", "b"])[["a", "b", "dist"]]
 
     cand = (ds.map_batches(expand, batch_format="pandas")
-            .groupby("bk").map_groups(bucket_pairs, batch_format="pandas")
+            .groupby("shard").map_groups(shard_pairs, batch_format="pandas")
             .map_batches(verify, batch_format="pandas"))
-    out = cand.groupby("pair").map_groups(first, batch_format="pandas")
+    # a pair can surface in buckets of DIFFERENT shards: global dedup is
+    # another bounded-shard exchange (same-pair -> same shard), never a
+    # per-pair Python group walk
+    out = (cand.map_batches(pair_shard, batch_format="pandas")
+           .groupby("ps").map_groups(dedup_shard, batch_format="pandas"))
     parts = [b for b in out.iter_batches(batch_format="pandas")
              if len(b.columns)]
     if not parts:

@@ -39,14 +39,41 @@ def _toks(text) -> list[str]:
     return _VOCAB_TOKEN_RE.findall(str(text).lower())
 
 
+def _sharded_sum(parts_ds, key_col: str, val_col: str,
+                 num_shards: int = 64):
+    """Exact per-key sum of partial-count rows WITHOUT a per-key group
+    walk: keys hash to a bounded shard count, and each shard merges all
+    its keys in one vectorized pandas groupby — Ray's own
+    groupby(key).aggregate walks the (here: vocabulary-sized) group space
+    in Python (the substring_dedup lesson: 57s -> 2s)."""
+
+    def shard(batch: pd.DataFrame) -> pd.DataFrame:
+        silence_empty_block_schema_warnings()
+        if key_col not in batch.columns or not len(batch):
+            return pd.DataFrame({key_col: pd.Series(dtype="object"),
+                                 val_col: pd.Series(dtype="int64"),
+                                 "_sh": pd.Series(dtype="int64")})
+        return batch.assign(_sh=(pd.util.hash_array(
+            batch[key_col].to_numpy(dtype=object)) % num_shards)
+            .astype("int64"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        silence_empty_block_schema_warnings()
+        if key_col not in g.columns or not len(g):
+            return pd.DataFrame({key_col: pd.Series(dtype="object"),
+                                 val_col: pd.Series(dtype="int64")})
+        return g.groupby(key_col, as_index=False)[val_col].sum()
+
+    return (parts_ds.map_batches(shard, batch_format="pandas")
+            .groupby("_sh").map_groups(merge, batch_format="pandas"))
+
+
 def fit_bigram_lm(ds, text_col: str = "text", vocab_k: int = 512,
                   bigram_k: int = 8192) -> dict:
     """Fit the model (two distributed passes); returns a plain dict
     {"vocab": {term: count}, "unk_count": int, "bigrams": {(a,b): int},
     "contexts": {term: int}, "v": int} small enough to broadcast."""
     from collections import Counter
-
-    from ray.data.aggregate import Sum
 
     def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
         ctr: Counter = Counter()
@@ -58,15 +85,37 @@ def fit_bigram_lm(ds, text_col: str = "text", vocab_k: int = 512,
             "term": pd.Series(terms, dtype="object"),
             "tf": pd.Series([ctr[t] for t in terms], dtype="int64")})
 
-    # consumed twice (total + top-V) — materialize the |vocab|-row aggregate
-    agg = (ds.map_batches(uni_partial, batch_format="pandas")
-           .groupby("term").aggregate(Sum("tf", alias_name="tf"))
-           .materialize())
-    total = int(agg.sum("tf") or 0)
-    top = (agg.sort(["tf", "term"], descending=[True, False])
-           .limit(vocab_k).to_pandas())
-    top = top.sort_values(["tf", "term"], ascending=[False, True],
-                          kind="mergesort").head(vocab_k)
+    # ONE consuming pass over the sharded aggregate: each block emits its
+    # own top-V (any global top-V key is in its block's top-V — exact
+    # mergeable top-k under the (tf DESC, term ASC) total order) plus one
+    # block-total row; the driver merges V x num_blocks rows. A global
+    # sort+limit plus a separate sum would be two more full pipeline
+    # executions for the same answer (fixed ~1s each on Ray 2.49).
+    agg = _sharded_sum(ds.map_batches(uni_partial, batch_format="pandas"),
+                       "term", "tf")
+
+    def uni_extract(batch: pd.DataFrame) -> pd.DataFrame:
+        silence_empty_block_schema_warnings()
+        if "term" not in batch.columns or not len(batch):
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "is_total": pd.Series(dtype="bool")})
+        top = (batch.sort_values(["tf", "term"], ascending=[False, True],
+                                 kind="mergesort").head(vocab_k)
+               .assign(is_total=False))
+        tot = pd.DataFrame({"term": [""],
+                            "tf": [int(batch["tf"].sum())],
+                            "is_total": [True]})
+        return pd.concat([top, tot], ignore_index=True)
+
+    rows = [b for b in agg.map_batches(uni_extract, batch_format="pandas")
+            .iter_batches(batch_format="pandas") if len(b.columns)]
+    urows = (pd.concat(rows, ignore_index=True) if rows
+             else uni_extract(pd.DataFrame()))
+    total = int(urows.loc[urows["is_total"], "tf"].sum())
+    top = (urows[~urows["is_total"]]
+           .sort_values(["tf", "term"], ascending=[False, True],
+                        kind="mergesort").head(vocab_k))
     vocab = dict(zip(top["term"], (int(v) for v in top["tf"])))
     unk_count = total - sum(vocab.values())
 
@@ -91,32 +140,32 @@ def fit_bigram_lm(ds, text_col: str = "text", vocab_k: int = 512,
             "n": pd.Series([bi[k] for k in keys]
                            + [ctx[t] for t in ctx_keys], dtype="int64")})
 
-    def keep_kind(prefix: str):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            silence_empty_block_schema_warnings()  # empty slices are routine
-            if "gk" not in batch.columns or not len(batch):
-                return pd.DataFrame({"gk": pd.Series(dtype="object"),
-                                     "n": pd.Series(dtype="int64")})
-            return batch[batch["gk"].str.startswith(prefix)]
-        return f
+    # same one-pass extract: contexts (<= V+2 rows, kind 'c') plus each
+    # block's top-B bigrams (kind 'b'), merged driver-side
+    bagg = _sharded_sum(ds.map_batches(bi_partial, batch_format="pandas"),
+                        "gk", "n")
 
-    # consumed twice below (contexts + bigrams) — materialize, don't
-    # re-execute both corpus passes (CLAUDE.md lazy-Dataset lesson)
-    bagg = (ds.map_batches(bi_partial, batch_format="pandas")
-            .groupby("gk").aggregate(Sum("n", alias_name="n"))
-            .materialize())
-    # contexts: at most V+2 rows — filter distributedly, pull the slice
-    ctx_rows = (bagg.map_batches(keep_kind("c\x1e"),
-                                 batch_format="pandas").to_pandas())
+    def bi_extract(batch: pd.DataFrame) -> pd.DataFrame:
+        silence_empty_block_schema_warnings()
+        if "gk" not in batch.columns or not len(batch):
+            return pd.DataFrame({"gk": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        ctx = batch[batch["gk"].str.startswith("c\x1e")]
+        big = (batch[batch["gk"].str.startswith("b\x1e")]
+               .sort_values(["n", "gk"], ascending=[False, True],
+                            kind="mergesort").head(bigram_k))
+        return pd.concat([ctx, big], ignore_index=True)
+
+    brows = [b for b in bagg.map_batches(bi_extract, batch_format="pandas")
+             .iter_batches(batch_format="pandas") if len(b.columns)]
+    ball = (pd.concat(brows, ignore_index=True) if brows
+            else bi_extract(pd.DataFrame()))
+    ctx_rows = ball[ball["gk"].str.startswith("c\x1e")]
     contexts = {g.split("\x1e", 1)[1]: int(n)
                 for g, n in zip(ctx_rows["gk"], ctx_rows["n"])}
-    # bigrams: keep top-B by (count DESC, gram ASC) — distributed
-    # sort+limit, same rule as vocabulary()
-    bi_rows = (bagg.map_batches(keep_kind("b\x1e"), batch_format="pandas")
-               .sort(["n", "gk"], descending=[True, False])
-               .limit(bigram_k).to_pandas())
-    bi_rows = bi_rows.sort_values(["n", "gk"], ascending=[False, True],
-                                  kind="mergesort").head(bigram_k)
+    bi_rows = (ball[ball["gk"].str.startswith("b\x1e")]
+               .sort_values(["n", "gk"], ascending=[False, True],
+                            kind="mergesort").head(bigram_k))
     bigrams = {}
     for g, n in zip(bi_rows["gk"], bi_rows["n"]):
         a, b = g.split("\x1e", 1)[1].split("\x1f", 1)

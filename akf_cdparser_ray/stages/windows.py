@@ -566,8 +566,6 @@ def hopping_window_counts(events_ds, *, size_s: int = 3600,
     Returns a Dataset of (ws_epoch BIGINT, key, n)."""
     import numpy as np
 
-    from ray.data.aggregate import Sum
-
     k = size_s // hop_s
     assert size_s % hop_s == 0, "window size must be a hop multiple"
 
@@ -594,26 +592,30 @@ def hopping_window_counts(events_ds, *, size_s: int = 3600,
 
     parts = events_ds.map_batches(partial, batch_format="pandas")
 
-    def rekey(batch: pd.DataFrame) -> pd.DataFrame:
-        if "ws_epoch" not in batch.columns or not len(batch):
-            return pd.DataFrame({"wk": pd.Series(dtype="object"),
-                                 "ws_epoch": pd.Series(dtype="int64"),
-                                 key: pd.Series(dtype="object"),
-                                 "n": pd.Series(dtype="int64")})
-        return batch.assign(
-            wk=batch["ws_epoch"].astype(str) + "\x1f" + batch[key])
+    # final merge: (window, key) cardinality is high, and Ray's own
+    # groupby walks groups in Python — hash windows onto a bounded shard
+    # count and merge each shard with ONE vectorized pandas groupby (the
+    # substring_dedup / lm lesson). All rows of a window land in one
+    # shard, so per-shard sums are globally exact.
+    num_shards = 64
 
-    def unkey(batch: pd.DataFrame) -> pd.DataFrame:
-        if "wk" not in batch.columns or not len(batch):
+    def shard(batch: pd.DataFrame) -> pd.DataFrame:
+        if "ws_epoch" not in batch.columns or not len(batch):
+            return pd.DataFrame({"ws_epoch": pd.Series(dtype="int64"),
+                                 key: pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "_sh": pd.Series(dtype="int64")})
+        return batch.assign(_sh=(pd.util.hash_array(
+            batch["ws_epoch"].to_numpy()) % num_shards).astype("int64"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "ws_epoch" not in g.columns or not len(g):
             return pd.DataFrame({"ws_epoch": pd.Series(dtype="int64"),
                                  key: pd.Series(dtype="object"),
                                  "n": pd.Series(dtype="int64")})
-        parts_ = batch["wk"].str.split("\x1f", n=1, expand=True)
-        return pd.DataFrame({
-            "ws_epoch": parts_[0].astype("int64"),
-            key: parts_[1],
-            "n": batch["n"].astype("int64")})
+        out = g.groupby(["ws_epoch", key], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
 
-    return (parts.map_batches(rekey, batch_format="pandas")
-            .groupby("wk").aggregate(Sum("n", alias_name="n"))
-            .map_batches(unkey, batch_format="pandas"))
+    return (parts.map_batches(shard, batch_format="pandas")
+            .groupby("_sh").map_groups(merge, batch_format="pandas"))
