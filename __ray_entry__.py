@@ -1304,6 +1304,30 @@ def q_revenue_by_region(sf_dir: str):
     return df[["r_name", "revenue", "n_orders"]]
 
 
+def q_zscore(sf_dir: str):
+    """Per-type z-score feature normalization: exact integer moment sums
+    broadcast once, then one stateless vectorized pass appends z — the
+    standard feature-scaling stage of a training-data pipeline
+    (stages/stats.zscore_normalize; floats bit-exact vs the HUGEINT SQL
+    mirror)."""
+    import numpy as np
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.stats import zscore_normalize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def cents(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["value"].to_numpy() * 100.0
+        v_c = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+        return pd.DataFrame({"event_id": batch["event_id"].to_numpy(),
+                             "event_type": batch["event_type"].to_numpy(),
+                             "v_c": v_c})
+
+    return zscore_normalize(ds.map_batches(cents, batch_format="pandas"),
+                            "event_type", "v_c", alias="z")
+
+
 def q_salted_join(sf_dir: str):
     """Skew-proof join: a planted hot key (every user_id % 3 == 0 event
     remaps to key 42 — a third of the fact table) would serialize one
@@ -1456,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles": q_exact_quantiles,
         "exact_distinct": q_exact_distinct,
         "salted_join": q_salted_join,
+        "zscore": q_zscore,
     }
 
 
@@ -1986,5 +2011,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM events) e
             JOIN customer ON e.jk = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "zscore": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v_c
+                       FROM events),
+                 s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                              sum(CAST(v_c AS HUGEINT)) AS sx,
+                              sum(CAST(v_c AS HUGEINT)
+                                  * CAST(v_c AS HUGEINT)) AS sxx
+                       FROM c GROUP BY event_type),
+                 m AS (SELECT event_type,
+                              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                                  AS mean,
+                              sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                   / CAST(n*n AS DOUBLE)) AS std
+                       FROM s)
+            SELECT c.event_id, c.event_type, c.v_c,
+                   (CAST(c.v_c AS DOUBLE) - m.mean) / m.std AS z
+            FROM c JOIN m USING (event_type)
         """,
     }

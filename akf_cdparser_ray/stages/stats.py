@@ -155,3 +155,63 @@ def string_agg_sorted(ds, key: str, col: str, sep: str = "|",
                              count_alias: [len(vals)]})
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def zscore_normalize(ds, key: str, col: str, alias: str = "z",
+                     ddof: int = 0):
+    """Per-group z-score feature normalization of an INTEGER (cents)
+    column: two passes — (1) the per-key exact moment sums of
+    :func:`grouped_corr`'s family (n, Σx, Σx², arbitrary precision),
+    broadcast driver-side as plain floats derived once per key; (2) a
+    stateless vectorized map appends z = (x - mean) / std per row,
+    keeping the input columns. The float expression tree matches the SQL
+    mirror token-for-token — mean = CAST(sx)/CAST(n), std =
+    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-ddof) AS DOUBLE)) —
+    so every z is bit-exact. Zero-variance groups emit NaN. The input is
+    consumed twice (moments + normalize): pass a stable source."""
+    import ray
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: [], "n": [], "sx": [], "sxx": []}
+        if key in batch.columns and len(batch):
+            for kval, g in batch.groupby(key, sort=False):
+                x = g[col].to_numpy(np.int64)
+                cols[key].append(kval)
+                cols["n"].append(len(g))
+                cols["sx"].append(_exact_int_sum(x))
+                cols["sxx"].append(_exact_int_sum(x * x))
+        out = pd.DataFrame({key: pd.Series(cols[key], dtype="object"),
+                            "n": pd.Series(cols["n"], dtype="int64")})
+        for c in ("sx", "sxx"):
+            out[c] = pd.Series(cols[c], dtype="object")
+        return out
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas") if len(b.columns)]
+    cand = (pd.concat(parts, ignore_index=True) if parts
+            else partial(pd.DataFrame()))
+    stats = {}
+    for kval, g in cand.groupby(key, sort=True):
+        n = int(g["n"].sum())
+        sx = sum(g["sx"].tolist())
+        sxx = sum(g["sxx"].tolist())
+        d = n * sxx - sx * sx
+        nd = n - ddof
+        mean = float(sx) / float(n)
+        std = (math.sqrt(float(d) / float(n * nd))
+               if d > 0 and nd > 0 else float("nan"))
+        stats[kval] = (mean, std)
+    ref = ray.put(stats)
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        if key not in batch.columns or not len(batch):
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 col: pd.Series(dtype="int64"),
+                                 alias: pd.Series(dtype="float64")})
+        means = batch[key].map(lambda k: st[k][0]).to_numpy(np.float64)
+        stds = batch[key].map(lambda k: st[k][1]).to_numpy(np.float64)
+        x = batch[col].to_numpy(np.int64).astype(np.float64)
+        return batch.assign(**{alias: (x - means) / stds})
+
+    return ds.map_batches(norm, batch_format="pandas")

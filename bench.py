@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "contamination", "epoch_shuffle", "substring_dedup",
     "rolling_window", "bloom_semijoin", "editdist_pairs",
     "hopping_window", "revenue_by_region", "lm_perplexity",
+    "exact_quantiles", "exact_distinct", "salted_join", "zscore",
 ]
 
 

@@ -130,3 +130,31 @@ def test_global_ntile_fewer_rows_than_buckets():
     ds = rd.from_pandas([pd.DataFrame({"doc_id": [1, 2, 3]})])
     out = global_ntile(ds, key="doc_id", k=8, epoch=0).to_pandas()
     assert sorted(out["bucket"].tolist()) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zscore_matches_local_and_layout():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.stats import zscore_normalize
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 400),
+                       "x": rng.integers(-500, 500, 400)})
+    outs = []
+    for n in (1, 5):
+        out = (zscore_normalize(rd.from_pandas(_chunks(df, n)), "k", "x")
+               .to_pandas().sort_values(["k", "x"])
+               .reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    for kval, g in df.groupby("k"):
+        mean = g["x"].mean()
+        std = g["x"].std(ddof=0)
+        got = outs[0][outs[0]["k"] == kval].sort_values("x")
+        expect = ((g["x"].sort_values() - mean) / std).to_numpy()
+        assert np.allclose(got["z"].to_numpy(), expect, rtol=1e-12)
+    # zero variance -> NaN z
+    same = pd.DataFrame({"k": ["c"] * 5, "x": [3] * 5})
+    out2 = zscore_normalize(rd.from_pandas([same]), "k", "x").to_pandas()
+    assert out2["z"].isna().all()
