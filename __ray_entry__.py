@@ -1304,6 +1304,27 @@ def q_revenue_by_region(sf_dir: str):
     return df[["r_name", "revenue", "n_orders"]]
 
 
+def q_triangles(sf_dir: str):
+    """Exact triangle count over a synthetic interaction graph derived
+    from events (u = user_id % 500, v = event_id % 500): node-iterator
+    forward algorithm — oriented edges exchange once into sorted plasma
+    shards, S probe tasks intersect higher-neighbor lists, driver sums S
+    scalars (stages/graph.triangle_count). Oracled by DuckDB's 3-way
+    self-join."""
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.graph import triangle_count
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": (batch["user_id"] % 500).astype("int64"),
+            "dst": (batch["event_id"] % 500).astype("int64")})
+
+    return triangle_count(ds.map_batches(derive, batch_format="pandas"))
+
+
 def q_zscore(sf_dir: str):
     """Per-type z-score feature normalization: exact integer moment sums
     broadcast once, then one stateless vectorized pass appends z — the
@@ -1481,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_distinct": q_exact_distinct,
         "salted_join": q_salted_join,
         "zscore": q_zscore,
+        "triangles": q_triangles,
     }
 
 
@@ -2011,6 +2033,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM events) e
             JOIN customer ON e.jk = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "triangles": """
+            WITH raw AS (SELECT user_id % 500 AS x, event_id % 500 AS y
+                         FROM events),
+                 e AS (SELECT DISTINCT least(x, y) AS u,
+                              greatest(x, y) AS v
+                       FROM raw WHERE x <> y)
+            SELECT (SELECT count(*)
+                    FROM e ab
+                    JOIN e ac ON ab.u = ac.u AND ab.v < ac.v
+                    JOIN e bc ON bc.u = ab.v AND bc.v = ac.v)
+                       AS n_triangles,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(DISTINCT n) FROM
+                       (SELECT u AS n FROM e UNION ALL
+                        SELECT v AS n FROM e)) AS n_nodes
         """,
         "zscore": """
             WITH c AS (SELECT event_id, event_type,
