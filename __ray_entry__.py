@@ -587,6 +587,45 @@ def q_audio_features(_sf_dir: str):
     ).to_pandas().sort_values("audio_id").reset_index(drop=True)
 
 
+def q_image_features(_sf_dir: str):
+    """Chained image stages over the synthetic page scans: decode +
+    block-mean resize to 16x16 PNG thumbs (actor pool), then an 8-bin
+    RGB color histogram over the THUMB bytes — binary columns flow
+    worker-to-worker through the object store; the driver sees only the
+    24-dim feature rows (rows-only: no SQL engine decodes images)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from akf_cdparser_ray.sources import synth
+    from akf_cdparser_ray.stages.image_ops import ColorHistogram, DecodeResize
+
+    tbl = synth.build_pages_table(64)
+    # from_arrow(one table) = ONE block (CLAUDE.md lesson) — slice it so
+    # the actor pools actually parallelize
+    pages = rd.from_arrow([tbl.slice(i * 16, 16) for i in range(4)])
+
+    def as_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": batch["image_id"],
+            "bytes": batch["thumb"],
+            "fmt": pa.array(["png"] * batch.num_rows, pa.string()),
+        })
+
+    thumbs = pages.map_batches(
+        DecodeResize, fn_constructor_kwargs={"out_w": 16, "out_h": 16},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).map_batches(as_pairs, batch_format="pyarrow")
+    feats = thumbs.map_batches(
+        ColorHistogram, fn_constructor_kwargs={"bins": 8},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    )
+    df = feats.to_pandas().sort_values("image_id").reset_index(drop=True)
+    # 9-sig-digit stable rendering for the golden (float32 -> float64 list)
+    df["features"] = df["features"].map(
+        lambda v: "|".join(f"{float(x):.6f}" for x in v))
+    return df
+
+
 def q_frame_sample(_sf_dir: str):
     """Video frame sampling: decode every 4th frame of each clip, emit
     per-frame metadata + phash (rows-only)."""
@@ -1503,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_join": q_salted_join,
         "zscore": q_zscore,
         "triangles": q_triangles,
+        "image_features": q_image_features,
     }
 
 

@@ -46,6 +46,9 @@ GOLDENS = {
     # bit-deterministic: exact-integer model + fixed-order stream sums
     # (fit+score layout independence pinned in tests/test_lm.py)
     "lm_perplexity": "af4623d4335d886ccb9aab9890da290be019c8e6b356222e9db0b58823456f04",
+    # deterministic synthetic scans -> thumbs -> histograms; features
+    # rendered at fixed precision inside the query
+    "image_features": "5c69cc45a6151faf9a36fc89230a909693382eb0e83e94041ec5b947b3d42e5c",
 }
 
 SF_DIR = "/root/testdata/sf0.01"
