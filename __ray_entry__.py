@@ -1343,6 +1343,17 @@ def q_revenue_by_region(sf_dir: str):
     return df[["r_name", "revenue", "n_orders"]]
 
 
+def q_global_rank(sf_dir: str):
+    """Exact global argsort by document length: range-sharded rank join
+    (t-digest boundary cuts -> per-shard sort in plasma -> searchsorted
+    probe) — curriculum ordering without an all-to-all payload sort
+    (stages/export.global_rank)."""
+    from akf_cdparser_ray.stages.export import global_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return global_rank(ds, col="n_chars", key="doc_id", num_shards=8)
+
+
 def q_triangles(sf_dir: str):
     """Exact triangle count over a synthetic interaction graph derived
     from events (u = user_id % 500, v = event_id % 500): node-iterator
@@ -1543,6 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore": q_zscore,
         "triangles": q_triangles,
         "image_features": q_image_features,
+        "global_rank": q_global_rank,
     }
 
 
@@ -2073,6 +2085,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM events) e
             JOIN customer ON e.jk = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "global_rank": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                       AS "rank"
+            FROM documents
         """,
         "triangles": """
             WITH raw AS (SELECT user_id % 500 AS x, event_id % 500 AS y

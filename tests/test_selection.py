@@ -82,3 +82,27 @@ def test_grouped_count_distinct():
            .to_pandas().sort_values("k").reset_index(drop=True))
     expect = df.groupby("k")["v"].nunique()
     assert out["nd"].tolist() == [int(expect["x"]), int(expect["y"])]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_rank_exact_with_ties_and_layout():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.export import global_rank
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({"doc_id": np.arange(600, dtype=np.int64),
+                       "v": rng.integers(0, 40, 600)})  # heavy ties
+    expect = (df.sort_values(["v", "doc_id"], kind="mergesort")
+              .reset_index(drop=True))
+    expect["rank"] = np.arange(len(expect), dtype=np.int64)
+    expect = expect.set_index("doc_id")["rank"]
+    outs = []
+    for n in (1, 6):
+        ds = rd.from_pandas(_chunks(df, n))
+        out = (global_rank(ds, col="v", key="doc_id", num_shards=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(out)
+        got = out.set_index("doc_id")["rank"].sort_index()
+        assert (got == expect.sort_index()).all()
+    assert outs[0].equals(outs[1])
