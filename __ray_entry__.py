@@ -1452,6 +1452,18 @@ def q_exact_quantiles(sf_dir: str):
     return global_exact_quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
 
 
+def q_grouped_p90(sf_dir: str):
+    """Exact per-type p90 WITHOUT the whole-group-on-one-worker contract
+    of grouped_median: all groups run the histogram-selection rounds
+    simultaneously — per-batch per-group dense histogram rows, one
+    shared collect pass (stages/selection.grouped_exact_quantile)."""
+    from akf_cdparser_ray.stages.selection import grouped_exact_quantile
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_exact_quantile(ds, "event_type", "value", q=0.9,
+                                  alias="p90")
+
+
 def q_exact_distinct(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type: per-batch pair dedup,
     one pair-keyed shuffle, per-key nunique
@@ -1555,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "image_features": q_image_features,
         "global_rank": q_global_rank,
+        "grouped_p90": q_grouped_p90,
     }
 
 
@@ -2073,6 +2086,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_distinct": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "grouped_p90": """
+            SELECT event_type, quantile_disc(value, 0.9) AS p90,
+                   count(value) AS n
             FROM events GROUP BY event_type
         """,
         "salted_join": """

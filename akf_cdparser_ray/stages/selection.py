@@ -1,8 +1,10 @@
 """Global EXACT quantiles by distributed histogram selection — the exact
 complement to the t-digest sketch (stages/sketches): no single worker
 ever holds the column, yet the answer is the true order statistic
-(DuckDB ``quantile_disc`` rule: 0-based index floor(q*(n-1)) over the
-sorted non-null values).
+(DuckDB ``quantile_disc`` rule: 0-based index max(0, ceil(q*n) - 1)
+over the sorted non-null values — probed empirically against DuckDB on
+integer-and-fractional q*n edge cases; the multiply happens in the same
+double arithmetic both sides).
 
 The classic multi-round selection shape (the same idea DBs use for
 exact percentile pushdown): each round is ONE stateless ``map_batches``
@@ -24,10 +26,17 @@ the same contract as kmeans_ds.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
 from akf_cdparser_ray.logquiet import silence_empty_block_schema_warnings
+
+
+def _disc_rank(q: float, n: int) -> int:
+    """DuckDB quantile_disc's 0-based target rank (see module note)."""
+    return max(0, math.ceil(q * n) - 1)
 
 
 def _hist_pass(ds, col: str, lo: float, hi: float, num_buckets: int):
@@ -149,7 +158,7 @@ def global_exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
         cum = np.cumsum(counts)
         easy, hard = {}, {}
         for q in qs:
-            k = int(np.floor(q * (n - 1)))  # 0-based target rank
+            k = _disc_rank(q, n)  # 0-based target rank
             b = int(np.searchsorted(cum, k + 1, side="left"))
             before = int(cum[b - 1]) if b else 0
             blo, bhi = float(edges[b]), float(edges[b + 1])
@@ -175,3 +184,172 @@ def global_exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99),
         "q": [float(q) for q in qs],
         "value": [out[q] for q in qs],
         "n": pd.Series([n] * len(qs), dtype="int64")})
+
+
+def grouped_exact_quantile(ds, key: str, col: str, q: float = 0.5,
+                           alias: str = "value",
+                           num_buckets: int = 4096,
+                           collect_cap: int = 2_000_000,
+                           max_rounds: int = 8) -> pd.DataFrame:
+    """Exact per-group order statistic WITHOUT the whole-group-on-one-
+    worker contract that ``windows.grouped_median`` (and every SQL
+    engine's hash aggregate) carries: the histogram-selection rounds of
+    :func:`global_exact_quantiles`, run for ALL groups simultaneously —
+    each batch emits one dense bucket-count bytes row PER ACTIVE GROUP,
+    the driver walks each group's cumulative histogram, groups whose
+    rank-holding bucket fits ``collect_cap`` resolve in one shared
+    collect pass, and only oversized buckets recurse. Driver traffic
+    per round is O(groups x blocks) histogram rows + O(collect_cap)
+    values per resolving group — a group with 10^10 rows costs the same
+    rounds as one with 10^3. Group CARDINALITY must be driver-bounded
+    (same contract as every per-key broadcast here).
+
+    DuckDB mirror: ``quantile_disc(col, q) .. GROUP BY key``. Returns
+    (key, alias, n) sorted by key."""
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        silence_empty_block_schema_warnings()
+        if key not in batch.columns or not len(batch):
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "mn": pd.Series(dtype="float64"),
+                                 "mx": pd.Series(dtype="float64")})
+        rows = {key: [], "n": [], "mn": [], "mx": []}
+        for kval, g in batch.groupby(key, sort=False):
+            v = g[col].dropna()
+            rows[key].append(kval)
+            rows["n"].append(int(len(v)))
+            rows["mn"].append(float(v.min()) if len(v) else np.inf)
+            rows["mx"].append(float(v.max()) if len(v) else -np.inf)
+        return pd.DataFrame(rows)
+
+    st = [b for b in ds.map_batches(stats_partial, batch_format="pandas")
+          .iter_batches(batch_format="pandas") if len(b.columns)]
+    stats = (pd.concat(st, ignore_index=True) if st
+             else stats_partial(pd.DataFrame()))
+    agg = stats.groupby(key).agg(n=("n", "sum"), mn=("mn", "min"),
+                                 mx=("mx", "max"))
+    # active bracket per group: (target rank k, lo, hi, base)
+    active, resolved, ns = {}, {}, {}
+    for kval, row in agg.iterrows():
+        n = int(row["n"])
+        ns[kval] = n
+        if n == 0:
+            resolved[kval] = float("nan")
+        elif row["mn"] == row["mx"]:
+            resolved[kval] = float(row["mn"])
+        else:
+            active[kval] = (_disc_rank(q, n),
+                            float(row["mn"]), float(row["mx"]), 0)
+
+    for _round in range(max_rounds + 1):
+        if not active:
+            break
+        brackets = {k2: (lo, hi) for k2, (_, lo, hi, _) in active.items()}
+        final = _round == max_rounds  # fallback: collect whole brackets
+
+        def hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            silence_empty_block_schema_warnings()
+            if key not in batch.columns or not len(batch):
+                return pd.DataFrame({key: pd.Series(dtype="object"),
+                                     "h": pd.Series(dtype="object")})
+            rows = {key: [], "h": []}
+            for kval, g in batch.groupby(key, sort=False):
+                br = brackets.get(kval)
+                if br is None:
+                    continue
+                lo, hi = br
+                edges = np.linspace(lo, hi, num_buckets + 1)
+                v = g[col].dropna().to_numpy(dtype=np.float64)
+                v = v[(v >= lo) & (v <= hi)]
+                b = np.minimum(
+                    np.searchsorted(edges, v, side="right") - 1,
+                    num_buckets - 1)
+                rows[key].append(kval)
+                rows["h"].append(np.bincount(
+                    b, minlength=num_buckets).astype(np.int64).tobytes())
+            return pd.DataFrame(rows)
+
+        def hist_combine(batch: pd.DataFrame) -> pd.DataFrame:
+            silence_empty_block_schema_warnings()
+            if key not in batch.columns or not len(batch):
+                return pd.DataFrame({key: pd.Series(dtype="object"),
+                                     "h": pd.Series(dtype="object")})
+            rows = {key: [], "h": []}
+            for kval, g in batch.groupby(key, sort=False):
+                acc = np.zeros(num_buckets, dtype=np.int64)
+                for blob in g["h"]:
+                    acc += np.frombuffer(blob, dtype=np.int64)
+                rows[key].append(kval)
+                rows["h"].append(acc.tobytes())
+            return pd.DataFrame(rows)
+
+        hrows = [b for b in
+                 ds.map_batches(hist_partial, batch_format="pandas")
+                 .map_batches(hist_combine, batch_format="pandas",
+                              batch_size=64)
+                 .iter_batches(batch_format="pandas") if len(b.columns)]
+        hall = (pd.concat(hrows, ignore_index=True) if hrows
+                else hist_partial(pd.DataFrame()))
+        counts_by = {}
+        for kval, g in hall.groupby(key, sort=False):
+            acc = np.zeros(num_buckets, dtype=np.int64)
+            for blob in g["h"]:
+                acc += np.frombuffer(blob, dtype=np.int64)
+            counts_by[kval] = acc
+
+        collect_plan = {}  # key -> (lo, hi, inc, idx_within)
+        next_active = {}
+        for kval, (k, lo, hi, base) in active.items():
+            counts = counts_by.get(kval, np.zeros(num_buckets, np.int64))
+            edges = np.linspace(lo, hi, num_buckets + 1)
+            cum = np.cumsum(counts)
+            r = k - base
+            b = int(np.searchsorted(cum, r + 1, side="left"))
+            before = int(cum[b - 1]) if b else 0
+            blo, bhi = float(edges[b]), float(edges[b + 1])
+            last = b == num_buckets - 1
+            if final or int(counts[b]) <= collect_cap:
+                if final:
+                    collect_plan[kval] = (lo, hi, True, r)
+                else:
+                    collect_plan[kval] = (blo, bhi, last, r - before)
+            elif blo == bhi or np.nextafter(blo, bhi) == bhi:
+                resolved[kval] = blo  # unsplittable: all equal
+            else:
+                next_active[kval] = (k, blo, bhi, base + before)
+
+        if collect_plan:
+            plan = dict(collect_plan)
+
+            def coll(batch: pd.DataFrame) -> pd.DataFrame:
+                silence_empty_block_schema_warnings()
+                if key not in batch.columns or not len(batch):
+                    return pd.DataFrame({key: pd.Series(dtype="object"),
+                                         col: pd.Series(dtype="float64")})
+                rows = {key: [], col: []}
+                for kval, g in batch.groupby(key, sort=False):
+                    pl = plan.get(kval)
+                    if pl is None:
+                        continue
+                    lo, hi, inc, _ = pl
+                    v = g[col].dropna().to_numpy(dtype=np.float64)
+                    sel = (v >= lo) & ((v <= hi) if inc else (v < hi))
+                    rows[key].extend([kval] * int(sel.sum()))
+                    rows[col].extend(v[sel].tolist())
+                return pd.DataFrame(rows)
+
+            crows = [b for b in ds.map_batches(coll, batch_format="pandas")
+                     .iter_batches(batch_format="pandas")
+                     if len(b.columns)]
+            call = (pd.concat(crows, ignore_index=True) if crows
+                    else coll(pd.DataFrame()))
+            for kval, (_, _, _, idx) in collect_plan.items():
+                vals = np.sort(call[call[key] == kval][col].to_numpy())
+                resolved[kval] = float(vals[idx])
+        active = next_active
+
+    out = pd.DataFrame({key: sorted(resolved),
+                        alias: [resolved[k2] for k2 in sorted(resolved)]})
+    out["n"] = pd.Series([ns[k2] for k2 in sorted(resolved)],
+                         dtype="int64")
+    return out

@@ -14,8 +14,10 @@ def _chunks(df, n):
 
 
 def _disc(vals, q):
+    import math
+
     v = np.sort(np.asarray(vals, dtype=np.float64))
-    return float(v[int(np.floor(q * (len(v) - 1)))])
+    return float(v[max(0, math.ceil(q * len(v)) - 1)])
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -106,3 +108,44 @@ def test_global_rank_exact_with_ties_and_layout():
         got = out.set_index("doc_id")["rank"].sort_index()
         assert (got == expect.sort_index()).all()
     assert outs[0].equals(outs[1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_exact_quantile_vs_local():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.selection import grouped_exact_quantile
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 3000),
+        "v": rng.normal(0, 10, 3000)})
+    df.loc[df["k"] == "c", "v"] = 7.0   # constant group (mn==mx path)
+    df.loc[rng.integers(0, 3000, 50), "v"] = np.nan
+    for q in (0.1, 0.5, 0.9):
+        for cap in (2_000_000, 20):  # big cap = 1 round; tiny = recursion
+            out = grouped_exact_quantile(
+                rd.from_pandas([df.iloc[i::4].reset_index(drop=True)
+                                for i in range(4)]),
+                "k", "v", q=q, num_buckets=8, collect_cap=cap)
+            for kval, g in df.groupby("k"):
+                vals = np.sort(g["v"].dropna().to_numpy())
+                expect = _disc(vals, q)
+                got = float(out[out["k"] == kval]["value"].iloc[0])
+                assert got == expect, (q, cap, kval)
+                assert int(out[out["k"] == kval]["n"].iloc[0]) == len(vals)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_exact_quantile_empty_group_and_all_null():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.selection import grouped_exact_quantile
+
+    df = pd.DataFrame({"k": ["a", "a", "b"],
+                       "v": [1.0, 3.0, None]})
+    out = grouped_exact_quantile(rd.from_pandas([df]), "k", "v", q=0.5)
+    a = out[out["k"] == "a"]
+    b = out[out["k"] == "b"]
+    assert float(a["value"].iloc[0]) == 1.0 and int(a["n"].iloc[0]) == 2
+    assert np.isnan(b["value"].iloc[0]) and int(b["n"].iloc[0]) == 0
