@@ -1452,6 +1452,27 @@ def q_exact_quantiles(sf_dir: str):
     return global_exact_quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
 
 
+def q_describe(sf_dir: str):
+    """One-pass per-type summary stats (n/min/max/mean/std) from exact
+    integer moment sums (stages/stats.grouped_describe); floats bit-exact
+    vs the HUGEINT SQL mirror."""
+    import numpy as np
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.stats import grouped_describe
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["value"].to_numpy() * 100.0
+        v_c = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+        return pd.DataFrame({"event_type": batch["event_type"].to_numpy(),
+                             "v_c": v_c})
+
+    return grouped_describe(ds.map_batches(cents, batch_format="pandas"),
+                            "event_type", "v_c")
+
+
 def q_grouped_p90(sf_dir: str):
     """Exact per-type p90 WITHOUT the whole-group-on-one-worker contract
     of grouped_median: all groups run the histogram-selection rounds
@@ -1568,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "global_rank": q_global_rank,
         "grouped_p90": q_grouped_p90,
+        "describe": q_describe,
     }
 
 
@@ -2092,6 +2114,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, quantile_disc(value, 0.9) AS p90,
                    count(value) AS n
             FROM events GROUP BY event_type
+        """,
+        "describe": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS v_c
+                       FROM events),
+                 s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                              min(v_c) AS min_c, max(v_c) AS max_c,
+                              sum(CAST(v_c AS HUGEINT)) AS sx,
+                              sum(CAST(v_c AS HUGEINT)
+                                  * CAST(v_c AS HUGEINT)) AS sxx
+                       FROM c GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n, min_c, max_c,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                        / CAST(n*n AS DOUBLE)) AS std
+            FROM s
         """,
         "salted_join": """
             SELECT c_mktsegment,

@@ -215,3 +215,57 @@ def zscore_normalize(ds, key: str, col: str, alias: str = "z",
         return batch.assign(**{alias: (x - means) / stds})
 
     return ds.map_batches(norm, batch_format="pandas")
+
+
+def grouped_describe(ds, key: str, col: str) -> pd.DataFrame:
+    """One-pass per-group summary — n, min, max, mean, population std —
+    from exact integer moment sums (the zscore/corr moment machinery
+    plus min/max partials). ONE consuming pass; per-batch partials are
+    one row per key; floats derive once per key from exact integers
+    with the SQL mirror's expression tree (mean = CAST(sx)/CAST(n),
+    std = sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*n AS DOUBLE)))."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: [], "n": [], "mn": [], "mx": [], "sx": [], "sxx": []}
+        if key in batch.columns and len(batch):
+            for kval, g in batch.groupby(key, sort=False):
+                x = g[col].to_numpy(np.int64)
+                cols[key].append(kval)
+                cols["n"].append(len(g))
+                cols["mn"].append(int(x.min()))
+                cols["mx"].append(int(x.max()))
+                cols["sx"].append(_exact_int_sum(x))
+                cols["sxx"].append(_exact_int_sum(x * x))
+        out = pd.DataFrame({key: pd.Series(cols[key], dtype="object"),
+                            "n": pd.Series(cols["n"], dtype="int64"),
+                            "mn": pd.Series(cols["mn"], dtype="int64"),
+                            "mx": pd.Series(cols["mx"], dtype="int64")})
+        for c in ("sx", "sxx"):
+            out[c] = pd.Series(cols[c], dtype="object")
+        return out
+
+    parts = [b for b in ds.map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas") if len(b.columns)]
+    cand = (pd.concat(parts, ignore_index=True) if parts
+            else partial(pd.DataFrame()))
+    rows = {key: [], "n": [], "min_c": [], "max_c": [],
+            "mean": [], "std": []}
+    for kval, g in cand.groupby(key, sort=True):
+        n = int(g["n"].sum())
+        sx = sum(g["sx"].tolist())
+        sxx = sum(g["sxx"].tolist())
+        d = n * sxx - sx * sx
+        rows[key].append(kval)
+        rows["n"].append(n)
+        rows["min_c"].append(int(g["mn"].min()))
+        rows["max_c"].append(int(g["mx"].max()))
+        rows["mean"].append(float(sx) / float(n))
+        rows["std"].append(math.sqrt(float(d) / float(n * n))
+                           if d > 0 else 0.0)
+    out = pd.DataFrame({key: rows[key]})
+    out["n"] = pd.Series(rows["n"], dtype="int64")
+    out["min_c"] = pd.Series(rows["min_c"], dtype="int64")
+    out["max_c"] = pd.Series(rows["max_c"], dtype="int64")
+    out["mean"] = pd.Series(rows["mean"], dtype="float64")
+    out["std"] = pd.Series(rows["std"], dtype="float64")
+    return out

@@ -158,3 +158,24 @@ def test_zscore_matches_local_and_layout():
     same = pd.DataFrame({"k": ["c"] * 5, "x": [3] * 5})
     out2 = zscore_normalize(rd.from_pandas([same]), "k", "x").to_pandas()
     assert out2["z"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_describe_matches_local_and_layout():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.stats import grouped_describe
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 500),
+                       "x": rng.integers(-1000, 1000, 500)})
+    outs = [grouped_describe(rd.from_pandas(_chunks(df, n)), "k", "x")
+            for n in (1, 6)]
+    assert outs[0].equals(outs[1])
+    for kval, g in df.groupby("k"):
+        row = outs[0][outs[0]["k"] == kval].iloc[0]
+        assert row["n"] == len(g)
+        assert row["min_c"] == g["x"].min()
+        assert row["max_c"] == g["x"].max()
+        assert row["mean"] == pytest.approx(g["x"].mean(), rel=1e-12)
+        assert row["std"] == pytest.approx(g["x"].std(ddof=0), rel=1e-12)
