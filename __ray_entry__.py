@@ -1452,6 +1452,18 @@ def q_exact_quantiles(sf_dir: str):
     return global_exact_quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
 
 
+def q_debounce(sf_dir: str):
+    """Burst dedup of the event log: drop events within 10 min of the
+    previous same-(user,type) event — one user-keyed shuffle, vectorized
+    per-type lag inside each partition, integer-microsecond exact
+    (stages/windows.debounce_events)."""
+    from akf_cdparser_ray.stages.windows import debounce_events
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return debounce_events(ds, gap_s=600)
+
+
 def q_describe(sf_dir: str):
     """One-pass per-type summary stats (n/min/max/mean/std) from exact
     integer moment sums (stages/stats.grouped_describe); floats bit-exact
@@ -1590,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": q_global_rank,
         "grouped_p90": q_grouped_p90,
         "describe": q_describe,
+        "debounce": q_debounce,
     }
 
 
@@ -2114,6 +2127,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, quantile_disc(value, 0.9) AS p90,
                    count(value) AS n
             FROM events GROUP BY event_type
+        """,
+        "debounce": """
+            SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS d_us
+                FROM events
+            ) WHERE d_us IS NULL OR d_us > 600000000
         """,
         "describe": """
             WITH c AS (SELECT event_type,

@@ -619,3 +619,42 @@ def hopping_window_counts(events_ds, *, size_s: int = 3600,
 
     return (parts.map_batches(shard, batch_format="pandas")
             .groupby("_sh").map_groups(merge, batch_format="pandas"))
+
+
+def debounce_events(events_ds, gap_s: int = 600):
+    """Burst deduplication of an event log: drop an event when the
+    PREVIOUS event of the same (user, type) stream is within ``gap_s``
+    seconds — the standard log-cleaning / retry-collapse rule, lag-based
+    so it is window-expressible (a chained debounce against the last
+    KEPT row is iterative and deliberately not this operator).
+
+    ONE user-keyed shuffle; within each user partition the per-type
+    previous timestamp is a vectorized ``groupby(type).shift``. All
+    comparisons are int64 MICROSECONDS (the SQL mirror uses epoch_us),
+    so the boundary case diff == gap is exact on both sides. Returns
+    (event_id, user_id, event_type) of the kept events."""
+    import numpy as np
+
+    gap_us = int(gap_s) * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        if "user_id" not in g.columns or not len(g):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "event_type": pd.Series(dtype="object")})
+        g = g.sort_values(["event_type", "ts", "event_id"],
+                          kind="mergesort")
+        us = (g["ts"].astype("datetime64[ns]").astype("int64")
+              // 1_000).to_numpy()
+        prev = (pd.Series(us, index=g.index)
+                .groupby(g["event_type"]).shift(1))
+        keep = prev.isna().to_numpy() | ((us - prev.to_numpy()) > gap_us)
+        kept = g[keep]
+        return pd.DataFrame({
+            "event_id": kept["event_id"].to_numpy(),
+            "user_id": kept["user_id"].to_numpy(),
+            "event_type": kept["event_type"].to_numpy()})
+
+    return (events_ds.groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))

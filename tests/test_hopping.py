@@ -38,3 +38,34 @@ def test_hopping_counts_match_reference_and_layout():
     assert outs[0].equals(outs[1])
     # every event is in exactly size/hop = 4 windows
     assert outs[0]["n"].sum() == 4 * len(df)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_debounce_keeps_first_of_burst_and_layout():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.windows import debounce_events
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": range(8),
+        "user_id": [1, 1, 1, 1, 1, 2, 2, 2],
+        "event_type": ["a", "a", "a", "b", "a", "a", "a", "a"],
+        "ts": [base, base + pd.Timedelta(seconds=100),       # burst: drop
+               base + pd.Timedelta(seconds=700),   # 600s after e1: drop
+               base + pd.Timedelta(seconds=50),              # type b: keep
+               base + pd.Timedelta(seconds=1301),   # 601s after e2: keep
+               base, base + pd.Timedelta(seconds=600),       # == gap: drop
+               base + pd.Timedelta(seconds=600, microseconds=1)]})  # 600.000001s from e5 -> drop (lag vs PREVIOUS row)
+    outs = []
+    for n in (1, 3):
+        ds = rd.from_pandas([df.iloc[i::n].reset_index(drop=True)
+                             for i in range(n)])
+        out = (debounce_events(ds, gap_s=600).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    # lag is vs the previous ROW (kept or not): e1 drops (100s), e2 drops
+    # (exactly 600s after e1), e4 keeps (601s after e2); e6 drops (==gap),
+    # e7 drops (1us after e6)
+    assert outs[0]["event_id"].tolist() == [0, 3, 4, 5]
