@@ -1452,6 +1452,19 @@ def q_exact_quantiles(sf_dir: str):
     return global_exact_quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
 
 
+def q_first_touch(sf_dir: str):
+    """First-touch attribution: the grouped ARGMIN twin of latest_event
+    (stages/windows.latest_per_group with ascending=True — per-batch
+    winners only enter the shuffle)."""
+    from akf_cdparser_ray.stages.windows import latest_per_group
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return latest_per_group(ds, "user_id", ["ts", "event_id"],
+                            ["user_id", "event_id", "ts", "event_type"],
+                            ascending=True)
+
+
 def q_debounce(sf_dir: str):
     """Burst dedup of the event log: drop events within 10 min of the
     previous same-(user,type) event — one user-keyed shuffle, vectorized
@@ -1603,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_p90": q_grouped_p90,
         "describe": q_describe,
         "debounce": q_debounce,
+        "first_touch": q_first_touch,
     }
 
 
@@ -2127,6 +2141,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, quantile_disc(value, 0.9) AS p90,
                    count(value) AS n
             FROM events GROUP BY event_type
+        """,
+        "first_touch": """
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "debounce": """
             SELECT event_id, user_id, event_type FROM (

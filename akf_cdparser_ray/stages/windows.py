@@ -388,7 +388,7 @@ def interval_join_partitioned(points_ds, anchors_ds, minutes: int = 10,
 
 
 def latest_per_group(ds, group: str, order_cols: list[str],
-                     keep_cols: list[str]):
+                     keep_cols: list[str], ascending: bool = False):
     """Grouped argmax ("latest row per key"): for each ``group`` value,
     the single row maximal under ``order_cols`` (descending, left-to-
     right tie-break). The classic mergeable aggregate shape: each batch
@@ -397,14 +397,15 @@ def latest_per_group(ds, group: str, order_cols: list[str],
     (group, batch) — never the events; the final per-group pick is the
     same deterministic comparator, so block layout cannot change the
     result (total order required: make the last order column a unique
-    id). SQL mirror: ``row_number() OVER (PARTITION BY group ORDER BY
-    order_cols DESC) = 1``."""
+    id). ``ascending=True`` flips it into the grouped argmin
+    ("first-touch" attribution). SQL mirror: ``row_number() OVER
+    (PARTITION BY group ORDER BY order_cols DESC|ASC) = 1``."""
     cols = [group] + [c for c in keep_cols if c != group]
 
     def _pick(frame: pd.DataFrame) -> pd.DataFrame:
         f = frame.sort_values(
             [group] + order_cols,
-            ascending=[True] + [False] * len(order_cols),
+            ascending=[True] + [ascending] * len(order_cols),
             kind="mergesort")
         return f.drop_duplicates(group, keep="first")[cols] \
             .reset_index(drop=True)
