@@ -1452,6 +1452,25 @@ def q_exact_quantiles(sf_dir: str):
     return global_exact_quantiles(ds, "value", qs=(0.5, 0.9, 0.99))
 
 
+def q_pivot_hours(sf_dir: str):
+    """PIVOT: events crosstabbed event_type x six-hour bucket (fixed
+    column domain -> known schema -> plain partial-then-final sums;
+    stages/relational.pivot_counts). SQL mirror: count FILTER columns."""
+    import pandas as pd
+
+    from akf_cdparser_ray.stages.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["ts"].dt.hour.to_numpy() // 6
+        return pd.DataFrame({"event_type": batch["event_type"].to_numpy(),
+                             "h6": h.astype("int64")})
+
+    return pivot_counts(ds.map_batches(bucket, batch_format="pandas"),
+                        "event_type", "h6", [0, 1, 2, 3])
+
+
 def q_first_touch(sf_dir: str):
     """First-touch attribution: the grouped ARGMIN twin of latest_event
     (stages/windows.latest_per_group with ascending=True — per-batch
@@ -1617,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "describe": q_describe,
         "debounce": q_debounce,
         "first_touch": q_first_touch,
+        "pivot_hours": q_pivot_hours,
     }
 
 
@@ -2140,6 +2160,16 @@ def oracle_sql() -> dict[str, str]:
         "grouped_p90": """
             SELECT event_type, quantile_disc(value, 0.9) AS p90,
                    count(value) AS n
+            FROM events GROUP BY event_type
+        """,
+        "pivot_hours": """
+            SELECT event_type,
+                   count(*) FILTER (WHERE hour(ts) // 6 = 0) AS "0",
+                   count(*) FILTER (WHERE hour(ts) // 6 = 1) AS "1",
+                   count(*) FILTER (WHERE hour(ts) // 6 = 2) AS "2",
+                   count(*) FILTER (WHERE hour(ts) // 6 = 3) AS "3",
+                   count(*) FILTER (WHERE hour(ts) // 6 NOT IN (0,1,2,3))
+                       AS other
             FROM events GROUP BY event_type
         """,
         "first_touch": """

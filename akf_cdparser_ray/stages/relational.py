@@ -171,3 +171,50 @@ def grouped_count_distinct(ds, key: str, value: str,
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(key).map_groups(count_in_group, batch_format="pandas"))
+
+
+def pivot_counts(ds, row_key: str, col_key: str, col_values: list):
+    """Crosstab / PIVOT with a FIXED column domain: one output row per
+    ``row_key`` value, one int64 count column per entry of
+    ``col_values`` (plus ``other`` for everything else). The fixed
+    domain is what makes pivot scale-safe — the schema is known before
+    execution, so this is just the partial-then-final sum shape: each
+    batch crosstabs locally (vectorized pandas), one keyed shuffle
+    moves (rows x batches) partial rows, per-row-key merge sums.
+    SQL mirror: ``count(*) FILTER (WHERE col_key = v) AS v`` per value."""
+    import pandas as pd
+
+    names = [str(v) for v in col_values]
+
+    def partial(batch: "pd.DataFrame") -> "pd.DataFrame":
+        if row_key not in batch.columns or not len(batch):
+            out = {row_key: pd.Series(dtype="object")}
+            for nm in names + ["other"]:
+                out[nm] = pd.Series(dtype="int64")
+            return pd.DataFrame(out)
+        ct = pd.crosstab(batch[row_key], batch[col_key])
+        out = pd.DataFrame({row_key: ct.index.to_numpy()})
+        known = []
+        for v, nm in zip(col_values, names):
+            out[nm] = (ct[v].to_numpy("int64") if v in ct.columns
+                       else 0)
+            if v in ct.columns:
+                known.append(v)
+        rest = [c for c in ct.columns if c not in col_values]
+        out["other"] = (ct[rest].sum(axis=1).to_numpy("int64")
+                        if rest else 0)
+        return out
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        if row_key not in g.columns or not len(g):
+            out = {row_key: pd.Series(dtype="object")}
+            for nm in names + ["other"]:
+                out[nm] = pd.Series(dtype="int64")
+            return pd.DataFrame(out)
+        s = g.groupby(row_key, as_index=False)[names + ["other"]].sum()
+        for nm in names + ["other"]:
+            s[nm] = s[nm].astype("int64")
+        return s
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(row_key).map_groups(merge, batch_format="pandas"))

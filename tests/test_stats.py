@@ -179,3 +179,28 @@ def test_grouped_describe_matches_local_and_layout():
         assert row["max_c"] == g["x"].max()
         assert row["mean"] == pytest.approx(g["x"].mean(), rel=1e-12)
         assert row["std"] == pytest.approx(g["x"].std(ddof=0), rel=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_counts_layout_and_other_bucket():
+    import ray.data as rd
+
+    from akf_cdparser_ray.stages.relational import pivot_counts
+
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame({"r": rng.choice(["a", "b"], 400),
+                       "c": rng.integers(0, 6, 400)})  # 4,5 -> other
+    outs = []
+    for n in (1, 5):
+        out = (pivot_counts(rd.from_pandas(_chunks(df, n)), "r", "c",
+                            [0, 1, 2, 3])
+               .to_pandas().sort_values("r").reset_index(drop=True))
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    ct = pd.crosstab(df["r"], df["c"])
+    for _, row in outs[0].iterrows():
+        for v in (0, 1, 2, 3):
+            assert row[str(v)] == int(ct.loc[row["r"]].get(v, 0))
+        assert row["other"] == int(ct.loc[row["r"]].get(4, 0)
+                                   + ct.loc[row["r"]].get(5, 0))
+    assert int(outs[0][["0", "1", "2", "3", "other"]].sum().sum()) == 400
