@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "rolling_window", "bloom_semijoin", "editdist_pairs",
     "hopping_window", "revenue_by_region", "lm_perplexity",
     "exact_quantiles", "exact_distinct", "salted_join", "zscore",
-    "triangles", "global_rank", "grouped_p90",
+    "triangles", "global_rank", "grouped_p90", "describe",
+    "debounce", "first_touch", "pivot_hours",
 ]
 
 
